@@ -1,0 +1,185 @@
+"""Packed 2-bit sequence storage on device (analog of
+src/naive_impl/seq_vector.rs over simple_sds::RawVector).
+
+Layout parity: base i occupies bits [2i mod 32] of uint32 word i // 16; the
+little-endian base order is identical to the reference's RawVector u64
+layout (a u64 word j of the reference == our words[2j] | words[2j+1] << 32),
+so serialized data round-trips bit-exactly (endian-stable, like the
+reference's s390x CI guarantee, .github/workflows/main.yml:115-139).
+
+Unaligned k-mer reads (seq_vector.rs:96-99) become vectorized 3-word
+funnel shifts: for bit offset b = 2*pos, the 2k <= 64 window bits are
+
+    lo = w[i] >> r  |  w[i+1] << (32-r)
+    hi = w[i+1] >> r |  w[i+2] << (32-r)        (i = b >> 5, r = b & 31)
+
+computed for a whole position array at once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import u64 as u
+from ..core.u64 import U64
+from . import encoding
+
+
+def pack_ascii_to_words(ascii_u8: np.ndarray) -> np.ndarray:
+    """Host-side pack: ASCII bytes -> uint32 words, 16 bases per word,
+    LSB-first.  (The Pallas pack kernel is the device path; this is the
+    loader/compat path.)"""
+    arr = np.asarray(ascii_u8, dtype=np.uint8)
+    n = len(arr)
+    internal = (arr.astype(np.uint32) >> 1) & 3
+    codes = internal ^ (internal >> 1)
+    n_words = (n + 15) // 16
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:n] = codes
+    padded = padded.reshape(n_words, 16)
+    shifts = np.arange(16, dtype=np.uint32) * 2
+    return np.bitwise_or.reduce(padded << shifts, axis=1).astype(np.uint32)
+
+
+def unpack_words_to_codes(words: jnp.ndarray, n_bases: int) -> jnp.ndarray:
+    """uint32 words -> per-base 2-bit codes [n_bases] (device)."""
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = (words[:, None] >> shifts[None, :]) & u.u32(3)
+    return codes.reshape(-1)[:n_bases]
+
+
+def gather_kmers(words: jnp.ndarray, positions: jnp.ndarray, k: int) -> U64:
+    """get_kmer_u64 for an array of base positions (seq_vector.rs:96-99).
+
+    words: [n_words] uint32 (pad with >= 2 zero words at the end).
+    positions: int32 array of base offsets.
+    """
+    assert 1 <= k <= 32
+    bit = positions.astype(jnp.uint32) << 1
+    wi = (bit >> 5).astype(jnp.int32)
+    r = bit & u.u32(31)
+    w0 = jnp.take(words, wi, axis=0)
+    w1 = jnp.take(words, wi + 1, axis=0)
+    w2 = jnp.take(words, wi + 2, axis=0)
+    # r may be 0: (x << 32) is undefined; split the funnel shift
+    carry1 = jnp.where(r == 0, u.u32(0), w1 << ((u.u32(32) - r) & u.u32(31)))
+    carry2 = jnp.where(r == 0, u.u32(0), w2 << ((u.u32(32) - r) & u.u32(31)))
+    lo = (w0 >> r) | carry1
+    hi = (w1 >> r) | carry2
+    out = U64(hi, lo)
+    mask = (1 << (2 * k)) - 1 if k < 32 else (1 << 64) - 1
+    return u.and_const(out, mask)
+
+
+class SeqVector:
+    """Device-backed 2-bit packed sequence with reference-parity API.
+
+    Construction packs on host (or accepts device words); reads are batched
+    device ops.  Scalar accessors exist for API parity but the intended use
+    is the batched ``get_kmers`` / ``iter_minimizers`` paths.
+    """
+
+    def __init__(self, words: jnp.ndarray, n_bases: int):
+        # keep 2 spare zero words so 3-word funnel reads never go OOB
+        self.words = jnp.asarray(words, dtype=jnp.uint32)
+        self.n_bases = n_bases
+
+    # -- constructors ---------------------------------------------------------
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "SeqVector":
+        words = pack_ascii_to_words(np.frombuffer(data, dtype=np.uint8))
+        words = np.concatenate([words, np.zeros(2, dtype=np.uint32)])
+        return SeqVector(jnp.asarray(words), len(data))
+
+    @staticmethod
+    def from_str(data: str) -> "SeqVector":
+        return SeqVector.from_bytes(data.encode())
+
+    def push_chars(self, data: bytes) -> None:
+        """Append bases (seq_vector.rs:141-161).  Host-side repack of the
+        boundary word; payload stays packed."""
+        new = SeqVector.from_bytes(self.to_string().encode() + data)
+        self.words, self.n_bases = new.words, new.n_bases
+
+    # -- accessors ------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.n_bases
+
+    def is_empty(self) -> bool:
+        return self.n_bases == 0
+
+    def get_kmers(self, positions: jnp.ndarray, k: int) -> U64:
+        return gather_kmers(self.words, positions, k)
+
+    def get_kmer_u64(self, pos: int, k: int) -> int:
+        assert pos < self.n_bases
+        out = gather_kmers(self.words, jnp.asarray([pos], dtype=jnp.int32), k)
+        return int(u.to_numpy(out)[0])
+
+    def get_base(self, pos: int) -> int:
+        return self.get_kmer_u64(pos, 1)
+
+    def all_kmers(self, k: int) -> Tuple[U64, int]:
+        """All len-k+1 k-mer words (SeqVecKmerIterator's batch form,
+        seq_vector.rs:260-300)."""
+        n = self.n_bases - k + 1
+        pos = jnp.arange(n, dtype=jnp.int32)
+        return self.get_kmers(pos, k), n
+
+    def iter_kmers(self, k: int) -> Iterator[Tuple[int, int]]:
+        """Scalar-compat iterator yielding (word, k) per position."""
+        words, n = self.all_kmers(k)
+        host = u.to_numpy(words)
+        for i in range(n):
+            yield int(host[i]), k
+
+    def iter_minimizers(
+        self, k: int, w: int, hash_fn: Callable[[U64], U64]
+    ) -> Iterator[Tuple[int, int]]:
+        """Scalar-compat (word, pos) per k-mer; see minimizers module for the
+        batch path."""
+        word, pos = self.minimizers(k, w, hash_fn)
+        hw = u.to_numpy(word)
+        hp = np.asarray(pos)
+        for i in range(self.n_bases - k + 1):
+            yield int(hw[i]), int(hp[i])
+
+    def minimizers(self, k: int, w: int, hash_fn) -> Tuple[U64, jnp.ndarray]:
+        from .minimizer import minimizer_stream_from_words
+
+        n_pos = self.n_bases - w + 1
+        pos = jnp.arange(n_pos, dtype=jnp.int32)
+        wmers = self.get_kmers(pos, w)
+        word, mpos = minimizer_stream_from_words(wmers, n_pos, k, w, hash_fn)
+        n_kmers = self.n_bases - k + 1
+        return (
+            U64(word.hi[:n_kmers], word.lo[:n_kmers]),
+            mpos[:n_kmers],
+        )
+
+    def to_string(self) -> str:
+        codes = unpack_words_to_codes(self.words, self.n_bases)
+        ascii_arr = encoding.codes_to_ascii(codes, lower=False)
+        return bytes(np.asarray(ascii_arr)).decode()
+
+    def __str__(self) -> str:
+        return self.to_string()
+
+    # -- checkpoint (serde analog, SURVEY §5.4) --------------------------------
+
+    def save(self, path: str) -> None:
+        """Endian-stable on-disk layout: uint32 little-endian words of the
+        2-bit LSB-first packing + base count."""
+        np.savez(path, words=np.asarray(self.words, dtype="<u4"),
+                 n_bases=np.int64(self.n_bases))
+
+    @staticmethod
+    def load(path: str) -> "SeqVector":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return SeqVector(jnp.asarray(z["words"].astype(np.uint32)),
+                         int(z["n_bases"]))
