@@ -1,0 +1,150 @@
+"""Single-device k-mer counting: sort + segment-sum count tables.
+
+This is new scope vs the reference (SURVEY.md §5.8, §7): the reference is a
+k-mer *type* library; the counting pipeline demanded by BASELINE.json is
+built TPU-first here.
+
+Design (static shapes, no data-dependent control flow):
+  * canonical k-mer words arrive as (hi, lo) uint32 pairs + a validity mask
+    (invalid = N-window / padding / structurally-out-of-range).
+  * sort by (invalid, hi, lo) via ``jax.lax.sort`` with three keys --
+    invalid lanes sort to the end *without* a sentinel key, so the all-T
+    k-mer (word == u64::MAX) cannot alias padding.
+  * group boundaries by neighbor compare; group ids by cumsum; counts by
+    ``segment_sum``; first-occurrence positions by ``segment_min`` -- the
+    TPU-friendly alternative to scatter-add (SURVEY.md §7 "hard parts").
+
+Everything returns fixed-capacity tables: ``keys[cap]``, ``counts[cap]``,
+``n_unique`` (traced scalar); slots past n_unique are zero padding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import u64 as u
+from ..core.u64 import U64
+
+
+class CountTable(NamedTuple):
+    """Fixed-capacity k-mer count table (a JAX pytree).
+
+    keys: U64 of shape [cap]; slots >= n_unique are zeros.
+    counts: int32 [cap]; zeros past n_unique.
+    n_unique: int32 scalar, number of live slots.
+    """
+
+    keys: U64
+    counts: jnp.ndarray
+    n_unique: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.counts.shape[-1]
+
+
+def sort_by_word(words: U64, valid: jnp.ndarray, *extras):
+    """Stable sort lanes by ((~valid), hi, lo).  Returns (words, valid,
+    *extras) reordered; invalid lanes are last."""
+    invalid_key = (~valid).astype(jnp.uint32)
+    operands = (invalid_key, words.hi, words.lo, valid) + tuple(extras)
+    out = jax.lax.sort(operands, num_keys=3, is_stable=True)
+    return U64(out[1], out[2]), out[3], out[4:]
+
+
+def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
+    """Count runs of equal (already sorted) words; invalid lanes ignored."""
+    n = words.lo.shape[-1]
+    prev = U64(jnp.roll(words.hi, 1), jnp.roll(words.lo, 1))
+    prev_valid = jnp.roll(valid, 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = valid & ((idx == 0) | u.ne(words, prev) | ~prev_valid)
+    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_unique = jnp.maximum(gid[-1] + 1, 0) * valid.any().astype(jnp.int32)
+    # invalid lanes: weight 0 and group id clamped into range
+    weights = valid.astype(jnp.int32)
+    gid_safe = jnp.clip(gid, 0, n - 1)
+    counts = jax.ops.segment_sum(weights, gid_safe, num_segments=n)
+    # first occurrence of each group (invalid lanes excluded by giving them
+    # group n-1, which is unreachable by construction when any lane is
+    # invalid: n_unique <= n_valid <= n-1)
+    gid_for_min = jnp.where(valid, gid_safe, n - 1)
+    first_pos = jax.ops.segment_min(idx, gid_for_min, num_segments=n)
+    pos = jnp.clip(first_pos, 0, n - 1)
+    live = idx < n_unique
+    keys = U64(
+        jnp.where(live, words.hi[pos], 0).astype(jnp.uint32),
+        jnp.where(live, words.lo[pos], 0).astype(jnp.uint32),
+    )
+    counts = jnp.where(live, counts, 0)
+    return CountTable(keys=keys, counts=counts, n_unique=n_unique)
+
+
+def count_words(words: U64, valid: jnp.ndarray) -> CountTable:
+    """Sort + count a flat lane array of k-mer words."""
+    flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
+    s, v, _ = sort_by_word(flat, valid.reshape(-1))
+    return count_sorted(s, v)
+
+
+def count_weighted(words: U64, valid: jnp.ndarray,
+                   weights: jnp.ndarray) -> CountTable:
+    """Like count_words but each lane contributes `weights` (int32) --
+    used to merge pre-counted tables."""
+    flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
+    s, v, (w,) = sort_by_word(flat, valid.reshape(-1), weights.reshape(-1))
+    n = s.lo.shape[-1]
+    prev = U64(jnp.roll(s.hi, 1), jnp.roll(s.lo, 1))
+    prev_valid = jnp.roll(v, 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = v & ((idx == 0) | u.ne(s, prev) | ~prev_valid)
+    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_unique = jnp.maximum(gid[-1] + 1, 0) * v.any().astype(jnp.int32)
+    gid_safe = jnp.clip(gid, 0, n - 1)
+    counts = jax.ops.segment_sum(jnp.where(v, w, 0), gid_safe, num_segments=n)
+    gid_for_min = jnp.where(v, gid_safe, n - 1)
+    first_pos = jnp.clip(
+        jax.ops.segment_min(idx, gid_for_min, num_segments=n), 0, n - 1)
+    live = idx < n_unique
+    keys = U64(
+        jnp.where(live, s.hi[first_pos], 0).astype(jnp.uint32),
+        jnp.where(live, s.lo[first_pos], 0).astype(jnp.uint32),
+    )
+    return CountTable(keys=keys, counts=jnp.where(live, counts, 0),
+                      n_unique=n_unique)
+
+
+def merge_tables(a: CountTable, b: CountTable) -> CountTable:
+    """Merge two count tables (capacity = cap_a + cap_b)."""
+    keys = U64(jnp.concatenate([a.keys.hi, b.keys.hi]),
+               jnp.concatenate([a.keys.lo, b.keys.lo]))
+    counts = jnp.concatenate([a.counts, b.counts])
+    idx = jnp.arange(counts.shape[-1], dtype=jnp.int32)
+    valid = (idx < a.n_unique) | (
+        (idx >= a.capacity) & (idx < a.capacity + b.n_unique))
+    return count_weighted(keys, valid, counts)
+
+
+def lookup(table: CountTable, queries: U64) -> jnp.ndarray:
+    """Count of each query word (0 if absent): branch-free binary search
+    over the sorted key region.  Static log2(cap) steps."""
+    cap = table.capacity
+    lo_idx = jnp.zeros(queries.lo.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(queries.lo.shape, cap, dtype=jnp.int32)
+    steps = max(1, cap.bit_length())
+    for _ in range(steps):
+        mid = (lo_idx + hi_idx) // 2
+        mid_c = jnp.clip(mid, 0, cap - 1)
+        mk = U64(table.keys.hi[mid_c], table.keys.lo[mid_c])
+        # keys past n_unique are padding: treat as +inf
+        in_range = mid < table.n_unique
+        key_lt_query = in_range & u.lt(mk, queries)
+        lo_idx = jnp.where(key_lt_query, mid + 1, lo_idx)
+        hi_idx = jnp.where(key_lt_query, hi_idx, mid)
+    found = jnp.clip(lo_idx, 0, cap - 1)
+    fk = U64(table.keys.hi[found], table.keys.lo[found])
+    hit = (lo_idx < table.n_unique) & u.eq(fk, queries)
+    return jnp.where(hit, table.counts[found], 0)

@@ -1,0 +1,129 @@
+"""End-to-end counting pipelines: single-chip and mesh-sharded.
+
+The flagship "model" of this framework (BASELINE.json configs 2 and 5):
+
+  reads [B, L] uint8 ASCII
+    -> fused pack + k-mer windows + canonical   (ops.kmer)
+    -> [single chip]  sort + segment-sum count table (parallel.count)
+    -> [mesh]         hash-prefix all_to_all to owning shards
+                      (parallel.route), then per-shard count tables.
+
+Metrics (SURVEY.md §5.5): every step returns lightweight counters --
+reads ingested, k-mers emitted, invalid windows skipped, routing overflow --
+as traced scalars in a dict (no silent caps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core import u64 as u
+from ..core.u64 import U64
+from ..ops import kmer as kmer_ops
+from . import count as count_ops
+from . import route as route_ops
+from .count import CountTable
+
+
+class CountResult(NamedTuple):
+    table: CountTable
+    metrics: Dict[str, jnp.ndarray]
+
+
+def canonical_kmers(reads: jnp.ndarray, k: int) -> Tuple[U64, jnp.ndarray]:
+    """reads [B, L] -> (canonical words [B, L], valid [B, L])."""
+    win = kmer_ops.kmer_windows(reads, k)
+    return kmer_ops.canonical_word(win.fw, win.rc), win.valid
+
+
+def count_reads(reads: jnp.ndarray, k: int) -> CountResult:
+    """Single-device bit-exact k-mer counter (BASELINE config 2)."""
+    canon, valid = canonical_kmers(reads, k)
+    table = count_ops.count_words(canon, valid)
+    n_win = reads.shape[-1] - k + 1
+    metrics = {
+        "reads": jnp.int32(reads.shape[0]),
+        "kmers_emitted": valid.sum().astype(jnp.int32),
+        "windows_skipped":
+            jnp.int32(reads.shape[0] * n_win) - valid.sum().astype(jnp.int32),
+    }
+    return CountResult(table=table, metrics=metrics)
+
+
+def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
+                        seed: int, axis: str) -> CountResult:
+    """shard_map body: local reads -> routed -> owned count table."""
+    canon, valid = canonical_kmers(reads_local, k)
+    routed = route_ops.route(canon, valid, axis, capacity, seed)
+    table = count_ops.count_words(routed.words, routed.valid)
+    n_win = reads_local.shape[-1] - k + 1
+    emitted = valid.sum().astype(jnp.int32)
+    metrics = {
+        "reads": jax.lax.psum(jnp.int32(reads_local.shape[0]), axis),
+        "kmers_emitted": jax.lax.psum(emitted, axis),
+        "windows_skipped": jax.lax.psum(
+            jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
+        "route_overflow": jax.lax.psum(routed.overflow, axis),
+        "route_bytes": jax.lax.psum(
+            jnp.int32(routed.words.lo.size * 9), axis),  # 8B word + 1B mask
+    }
+    return CountResult(table=table, metrics=metrics)
+
+
+def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
+                         seed: int = 0, axis: str = "d"):
+    """Build a jitted sharded counting step over `mesh`.
+
+    Returns fn(reads [B, L] sharded over axis on dim 0) -> CountResult where
+    table leaves are per-shard (leading device dim folded into capacity
+    axis under the mesh sharding) and metrics are replicated scalars.
+
+    Every shard's table holds only k-mers whose hash-prefix it owns, so the
+    global table is the disjoint union of shard tables.
+    """
+    in_spec = P(axis)
+    out_spec = CountResult(
+        table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                         n_unique=P(axis)),
+        metrics={m: P() for m in ("reads", "kmers_emitted", "windows_skipped",
+                                  "route_overflow", "route_bytes")},
+    )
+    body = functools.partial(_sharded_count_body, k=k,
+                             capacity=route_capacity, seed=seed, axis=axis)
+
+    def wrapped(reads_local):
+        res = body(reads_local)
+        # add leading axis-of-size-1 per shard so outputs concatenate over 'd'
+        table = jax.tree.map(lambda x: x[None], res.table)
+        return CountResult(table=table, metrics=res.metrics)
+
+    fn = shard_map(wrapped, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=out_spec)
+    return jax.jit(fn)
+
+
+def global_table(result: CountResult) -> CountTable:
+    """Flatten a sharded CountResult's per-shard tables into one host-side
+    view (shards are disjoint by construction)."""
+    t = result.table
+    return t
+
+
+def lookup_sharded(tables: CountTable, queries: U64, n_shards: int,
+                   seed: int = 0) -> jnp.ndarray:
+    """Host-convenience lookup across per-shard tables [D, cap]."""
+    owner = route_ops.owner_of(queries, n_shards, seed)
+    counts = []
+    for d in range(n_shards):
+        shard = CountTable(
+            keys=U64(tables.keys.hi[d], tables.keys.lo[d]),
+            counts=tables.counts[d], n_unique=tables.n_unique[d])
+        counts.append(count_ops.lookup(shard, queries))
+    stacked = jnp.stack(counts)                    # [D, Q]
+    return jnp.take_along_axis(stacked, owner[None, :], axis=0)[0]

@@ -1,0 +1,115 @@
+"""Hash-prefix routing of k-mers to owning shards via all_to_all.
+
+New scope vs the reference (SURVEY.md §5.8): each of the D devices on the
+``"d"`` mesh axis owns 1/D of the 64-bit hash space; every locally produced
+canonical k-mer is routed to owner ``mix_hash(word) >> (64 - log2 D)``.
+
+Ragged all_to_all is not expressible in XLA, so routing uses
+**fixed-capacity buckets** (SURVEY.md §7 "hard parts"):
+
+  1. owner id per lane (invalid lanes -> dead owner D, sorts last);
+  2. stable sort lanes by owner;
+  3. per-owner counts (histogram) + exclusive prefix = bucket extents;
+  4. gather into a [D, capacity] send buffer (slack-sized; lanes beyond an
+     owner's capacity are *counted* as overflow, never silently dropped);
+  5. ``jax.lax.all_to_all`` over "d" -> [D, capacity] received lanes, all
+     owned by this shard.
+
+All steps are sort/gather/compare lane ops -- no scatter, no dynamic
+shapes.  Overflow counters come back with the result; callers must surface
+them (metrics counter ``route_overflow``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import u64 as u
+from ..core.u64 import U64
+
+
+class Routed(NamedTuple):
+    """Result of routing: lanes now living on their owning shard."""
+
+    words: U64            # [D * capacity] received k-mer words
+    valid: jnp.ndarray    # [D * capacity] bool
+    overflow: jnp.ndarray  # int32 scalar: lanes dropped on *this* sender
+
+
+def owner_of(words: U64, n_shards: int, seed: int = 0) -> jnp.ndarray:
+    """Owning shard = top bits of the mixer hash (hash-prefix routing).
+
+    n_shards need not be a power of two: the prefix is mapped by
+    multiply-shift ((hash_hi * D) >> 32), which preserves the
+    range-partition property on the hash space.
+    """
+    h = u.mix_hash(words, seed)
+    # 32-bit-only multiply-shift (Pallas/TPU-safe, no u64 multiply)
+    return _mul_shift32(h.hi, n_shards)
+
+
+def _mul_shift32(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """floor(x * d / 2**32) for uint32 x and small static d, using only
+    32-bit lane ops (no u64 multiply)."""
+    xl = x & u.u32(0xFFFF)
+    xh = x >> 16
+    # x*d = xh*d*2^16 + xl*d ; >> 32
+    lo_prod = xl * u.u32(d)                    # < 2^48 -> fits? no: keep 32b
+    hi_prod = xh * u.u32(d)
+    # (hi_prod << 16 + lo_prod) >> 32 == (hi_prod + (lo_prod >> 16)) >> 16
+    return ((hi_prod + (lo_prod >> 16)) >> 16).astype(jnp.int32)
+
+
+def bucket_sort(words: U64, valid: jnp.ndarray, n_shards: int,
+                seed: int = 0):
+    """Sort lanes by owner (invalid last).  Returns (words, valid, owner)
+    sorted, plus per-owner counts [n_shards]."""
+    owner = jnp.where(valid, owner_of(words, n_shards, seed), n_shards)
+    owner = owner.astype(jnp.int32)
+    o, hi, lo, v = jax.lax.sort(
+        (owner, words.hi, words.lo, valid), num_keys=1, is_stable=True)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(o), jnp.clip(o, 0, n_shards), num_segments=n_shards + 1
+    )[:n_shards]
+    return U64(hi, lo), v, o, counts
+
+
+def build_send_buffer(words: U64, valid: jnp.ndarray, n_shards: int,
+                      capacity: int, seed: int = 0):
+    """[D, capacity] send buffer + per-destination valid mask + overflow."""
+    sw, sv, so, counts = bucket_sort(words, valid, n_shards, seed)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    n = sw.lo.shape[-1]
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
+    src = starts[:, None] + j                                  # [D, C]
+    in_bucket = j < jnp.minimum(counts, capacity)[:, None]     # [D, C]
+    src_c = jnp.clip(src, 0, n - 1)
+    send = U64(sw.hi[src_c], sw.lo[src_c])
+    overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
+    return send, in_bucket, overflow
+
+
+def route(words: U64, valid: jnp.ndarray, axis_name: str,
+          capacity: int, seed: int = 0) -> Routed:
+    """Inside shard_map: route local k-mers to their owning shard.
+
+    words/valid: local lanes (any shape; flattened).
+    capacity: per-destination lane budget on each sender.  Received size is
+    D * capacity.
+    """
+    d = jax.lax.axis_size(axis_name)
+    flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
+    send, send_valid, overflow = build_send_buffer(
+        flat, valid.reshape(-1), d, capacity, seed)
+    recv_hi = jax.lax.all_to_all(send.hi, axis_name, 0, 0, tiled=True)
+    recv_lo = jax.lax.all_to_all(send.lo, axis_name, 0, 0, tiled=True)
+    recv_valid = jax.lax.all_to_all(send_valid, axis_name, 0, 0, tiled=True)
+    return Routed(
+        words=U64(recv_hi.reshape(-1), recv_lo.reshape(-1)),
+        valid=recv_valid.reshape(-1),
+        overflow=overflow,
+    )

@@ -5,12 +5,16 @@
 * Enable the persistent compilation cache: per-shape XLA compiles cost ~1s
   on this CPU, so tests keep array shapes canonical and reuse compiled
   executables across runs.
+
+The environment may pre-register a real-TPU JAX backend at interpreter
+startup (sitecustomize imports jax before this file runs and pins
+``jax_platforms``), so setting env vars here is not enough: explicitly
+re-point the jax config at CPU and clear any initialized backends.
 """
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +24,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_kmers_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover - best effort on older jax
+    pass

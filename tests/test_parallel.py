@@ -1,0 +1,231 @@
+"""Counting + routing tests on the 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8; SURVEY.md §4 multi-host sim)."""
+
+import collections
+import random
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmers_tpu.core import u64 as u
+from kmers_tpu.core.u64 import U64
+from kmers_tpu.oracle import numpy_ref as o
+from kmers_tpu.parallel import count as count_ops
+from kmers_tpu.parallel import mesh as mesh_ops
+from kmers_tpu.parallel import pipeline
+import kmers_tpu.parallel.route as route_ops
+
+RNG = random.Random(99)
+
+N = 256
+
+
+def rand_words_with_dups(n=N, pool=40):
+    pool_words = [RNG.getrandbits(64) for _ in range(pool)]
+    return [RNG.choice(pool_words) for _ in range(n)]
+
+
+def as_u64(ws):
+    return u.from_numpy(np.array(ws, dtype=np.uint64))
+
+
+def expected_counts(ws, valid):
+    c = collections.Counter(w for w, v in zip(ws, valid) if v)
+    return sorted(c.items())
+
+
+def table_to_pairs(table):
+    nu = int(table.n_unique)
+    keys = u.to_numpy(table.keys)[:nu]
+    counts = np.asarray(table.counts)[:nu]
+    return [(int(k), int(c)) for k, c in zip(keys, counts)]
+
+
+@jax.jit
+def _count_words_jit(words, valid):
+    return count_ops.count_words(words, valid)
+
+
+def test_count_words_vs_counter():
+    ws = rand_words_with_dups()
+    valid = [RNG.random() > 0.2 for _ in ws]
+    table = _count_words_jit(as_u64(ws), jnp.asarray(np.array(valid)))
+    assert table_to_pairs(table) == expected_counts(ws, valid)
+    # padding slots are zeroed
+    nu = int(table.n_unique)
+    assert not np.asarray(table.counts)[nu:].any()
+    assert not np.asarray(table.keys.lo)[nu:].any()
+
+
+def test_count_words_all_T_not_aliased():
+    """u64::MAX (32 T's) must count correctly despite invalid lanes
+    (sort uses a validity key, not a sentinel)."""
+    ws = [o.MASK64] * 5 + [7] * 3 + [o.MASK64] * 4
+    valid = [True] * 5 + [True] * 3 + [False] * 4
+    table = _count_words_jit(as_u64(ws), jnp.asarray(np.array(valid)))
+    assert table_to_pairs(table) == [(7, 3), (o.MASK64, 5)]
+
+
+def test_count_words_all_invalid():
+    ws = rand_words_with_dups(16)
+    table = _count_words_jit(as_u64(ws), jnp.zeros(16, dtype=bool))
+    assert int(table.n_unique) == 0
+    assert not np.asarray(table.counts).any()
+
+
+def test_count_weighted_and_merge():
+    ws_a, ws_b = rand_words_with_dups(64), rand_words_with_dups(64)
+    va = [RNG.random() > 0.1 for _ in ws_a]
+    vb = [RNG.random() > 0.1 for _ in ws_b]
+    ta = _count_words_jit(as_u64(ws_a), jnp.asarray(np.array(va)))
+    tb = _count_words_jit(as_u64(ws_b), jnp.asarray(np.array(vb)))
+    merged = jax.jit(count_ops.merge_tables)(ta, tb)
+    want = collections.Counter(w for w, v in zip(ws_a, va) if v)
+    want += collections.Counter(w for w, v in zip(ws_b, vb) if v)
+    assert table_to_pairs(merged) == sorted(want.items())
+
+
+def test_lookup():
+    ws = rand_words_with_dups()
+    valid = [True] * N
+    table = _count_words_jit(as_u64(ws), jnp.asarray(np.array(valid)))
+    queries = ws[:10] + [RNG.getrandbits(64) for _ in range(6)]
+    got = jax.jit(count_ops.lookup)(table, as_u64(queries))
+    c = collections.Counter(ws)
+    want = [c.get(q, 0) for q in queries]
+    assert list(np.asarray(got)) == want
+
+
+def _oracle_canonical_counts(reads, k):
+    c = collections.Counter()
+    for r in reads:
+        it = o.CanonicalKmerIterator(r, k)
+        for _, fw, rc in it:
+            c[min(fw, rc)] += 1
+    return sorted(c.items())
+
+
+def _make_reads(n_reads, L, n_frac=0.05):
+    reads = []
+    for _ in range(n_reads):
+        r = bytearray(RNG.choice(b"ACGT") for _ in range(L))
+        for i in range(L):
+            if RNG.random() < n_frac:
+                r[i] = ord("N")
+        reads.append(bytes(r))
+    return reads
+
+
+def reads_to_batch(reads, L):
+    batch = np.full((len(reads), L), ord("N"), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        batch[i, : len(r)] = np.frombuffer(r, dtype=np.uint8)
+    return jnp.asarray(batch)
+
+
+def test_count_reads_vs_oracle():
+    k, L = 31, 80
+    reads = _make_reads(16, L)
+    res = jax.jit(lambda a: pipeline.count_reads(a, k))(reads_to_batch(reads, L))
+    assert table_to_pairs(res.table) == _oracle_canonical_counts(reads, k)
+    n_valid = sum(1 for r in reads for _ in o.CanonicalKmerIterator(r, k))
+    assert int(res.metrics["kmers_emitted"]) == n_valid
+    assert int(res.metrics["reads"]) == 16
+
+
+def test_owner_of_range():
+    ws = as_u64([RNG.getrandbits(64) for _ in range(512)])
+    for d in (2, 3, 8):
+        owners = np.asarray(jax.jit(
+            lambda w, d=d: route_ops.owner_of(w, d))(ws))
+        assert owners.min() >= 0 and owners.max() < d
+        # roughly balanced (loose bound)
+        h = np.bincount(owners, minlength=d)
+        assert h.min() > 512 // d // 4
+
+
+def test_route_delivers_to_owner():
+    requires_8_devices()
+    m = mesh_ops.make_mesh(8)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ws = rand_words_with_dups(8 * 64, pool=300)
+    valid = np.array([RNG.random() > 0.15 for _ in ws])
+    cap = 64  # ample
+
+    def body(hi, lo, v):
+        routed = route_ops.route(U64(hi, lo), v, "d", cap)
+        return routed.words.hi[None], routed.words.lo[None], \
+            routed.valid[None], routed.overflow[None]
+
+    fn = jax.jit(shard_map(
+        body, mesh=m, in_specs=(P("d"), P("d"), P("d")),
+        out_specs=(P("d"), P("d"), P("d"), P("d"))))
+    wa = as_u64(ws)
+    rhi, rlo, rv, ovf = fn(wa.hi, wa.lo, jnp.asarray(valid))
+    assert int(np.asarray(ovf).sum()) == 0
+    got_per_shard = []
+    for d in range(8):
+        wv = u.to_numpy(U64(rhi[d], rlo[d]))
+        mask = np.asarray(rv[d])
+        got_per_shard.append(collections.Counter(int(x) for x in wv[mask]))
+    # every received word belongs to that shard, and the multiset over all
+    # shards equals the valid input multiset
+    owners = np.asarray(route_ops.owner_of(wa, 8))
+    want_per_shard = [collections.Counter() for _ in range(8)]
+    for w, v, own in zip(ws, valid, owners):
+        if v:
+            want_per_shard[own][w] += 1
+    assert got_per_shard == want_per_shard
+
+
+def test_route_overflow_counted():
+    requires_8_devices()
+    m = mesh_ops.make_mesh(8)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ws = [RNG.getrandbits(64) for _ in range(8 * 64)]
+    cap = 2  # far too small
+
+    def body(hi, lo, v):
+        routed = route_ops.route(U64(hi, lo), v, "d", cap)
+        return routed.overflow[None]
+
+    fn = jax.jit(shard_map(
+        body, mesh=m, in_specs=(P("d"), P("d"), P("d")),
+        out_specs=P("d")))
+    wa = as_u64(ws)
+    ovf = fn(wa.hi, wa.lo, jnp.ones(len(ws), dtype=bool))
+    # 64 valid lanes per sender, 8 dests * cap 2 = 16 slots: >= 48 dropped
+    assert int(np.asarray(ovf).sum()) >= 8 * (64 - 8 * cap)
+
+
+def requires_8_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+
+def test_sharded_counter_matches_oracle():
+    requires_8_devices()
+    k, L = 21, 64
+    reads = _make_reads(32, L)  # 4 reads per shard
+    m = mesh_ops.make_mesh(8)
+    counter = pipeline.make_sharded_counter(m, k, route_capacity=256)
+    res = counter(reads_to_batch(reads, L))
+    assert int(res.metrics["route_overflow"]) == 0
+    assert int(res.metrics["reads"]) == 32
+    # union of shard tables == oracle counts
+    got = collections.Counter()
+    t = res.table
+    for d in range(8):
+        shard = count_ops.CountTable(
+            keys=U64(t.keys.hi[d], t.keys.lo[d]),
+            counts=t.counts[d], n_unique=t.n_unique[d])
+        for w, c in table_to_pairs(shard):
+            assert w not in got, "shards must be disjoint"
+            got[w] += c
+    assert sorted(got.items()) == _oracle_canonical_counts(reads, k)
