@@ -218,3 +218,75 @@ def minimizer(
         best_hash = u.where(take, h, best_hash)
         best_pos = jnp.where(take, pos, best_pos)
     return best_mmer, best_pos
+
+
+# -- multi-word k-mers (33 <= k <= 64; BASELINE config 3) ----------------------
+
+from ..core import u128 as u128mod          # noqa: E402
+from ..core.u128 import U128                # noqa: E402
+
+
+def window_words_wide(codes: jnp.ndarray, k: int) -> U128:
+    """All k-mer windows for 33 <= k <= 64 as U128 (2xu64 = 4xu32 lanes).
+
+    Same log-doubling pack as the single-word path; a window at p is the
+    four 16-base u32 words at p, p+16, p+32, p+48, with the top word masked.
+    """
+    assert 33 <= k <= 64
+    w16 = pack_u32_words(codes)
+    lo = U64(_shift_left(w16, 16), w16)
+    hi_lo = _shift_left(w16, 32)
+    hi_hi = _shift_left(w16, 48)
+    rem = k - 32  # bases in the high u64
+    if rem <= 16:
+        hi_lo = hi_lo & u.u32((1 << (2 * rem)) - 1) if rem < 16 else hi_lo
+        hi_hi = jnp.zeros_like(hi_hi)
+    elif rem < 32:
+        hi_hi = hi_hi & u.u32((1 << (2 * (rem - 16))) - 1)
+    return U128(U64(hi_hi, hi_lo), lo)
+
+
+class KmerWindowsWide(NamedTuple):
+    fw: U128
+    rc: U128
+    valid: jnp.ndarray
+    n_windows: int
+
+
+def canonical_word_wide(fw: U128, rc: U128) -> U128:
+    return u128mod.min_(fw, rc)
+
+
+def kmer_windows_wide(ascii_u8: jnp.ndarray, k: int) -> KmerWindowsWide:
+    """Fused pack + window + canonical for multi-word k (33 <= k <= 64)."""
+    L = ascii_u8.shape[-1]
+    assert L >= k
+    codes = encoding.ascii_to_codes(ascii_u8)
+    vmask = encoding.valid_mask(ascii_u8)
+    fw = window_words_wide(codes, k)
+    rc = u128mod.reverse_complement(fw, k)
+    wv = window_valid(vmask, k)
+    n_win = L - k + 1
+    idx = jnp.arange(L, dtype=jnp.int32)
+    wv = wv & (idx < n_win)
+    return KmerWindowsWide(fw=fw, rc=rc, valid=wv, n_windows=n_win)
+
+
+def append_base_wide(data: U128, b: jnp.ndarray, k: int):
+    """Rolling append for the wide path (shift right, insert at base k-1)."""
+    assert 33 <= k <= 64
+    evicted = data.lo.lo & u.u32(3)
+    b128 = u128mod.from_u64(U64(jnp.zeros_like(data.lo.lo),
+                                b.astype(jnp.uint32) & u.u32(3)))
+    new = u128mod.or_(u128mod.shr(data, 2), u128mod.shl(b128, 2 * k - 2))
+    return new, evicted
+
+
+def prepend_base_wide(data: U128, b: jnp.ndarray, k: int):
+    assert 33 <= k <= 64
+    evicted = u128mod.shr(data, 2 * k - 2).lo.lo & u.u32(3)
+    b128 = u128mod.from_u64(U64(jnp.zeros_like(data.lo.lo),
+                                b.astype(jnp.uint32) & u.u32(3)))
+    new = u128mod.and_const(
+        u128mod.or_(u128mod.shl(data, 2), b128), (1 << (2 * k)) - 1)
+    return new, evicted

@@ -756,3 +756,80 @@ def bitmer_to_bytes(mer: int, length: int) -> bytes:
         out.append(b"ACGT"[mer & 0b11])
         mer >>= 2
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Multi-word k-mers (33 <= k <= 64, two u64 words).
+#
+# The reference caps naive_impl at k <= 32 (naive_impl/kmer.rs:236-238); its
+# generic layer reaches longer k via [P; B] arrays with the same LSB-first
+# 2-bit layout (src/kmer.rs:12-14, e.g. k=65 in u128, naive.rs:419-445).
+# kmers_tpu extends the *naive_impl semantics* (A=0,C=1,G=2,T=3, complement
+# 3-b, canonical = numeric min) to 128-bit words: bit layout identical to
+# Naive::ACGT over [u64; 2].
+# ---------------------------------------------------------------------------
+
+MASK128 = (1 << 128) - 1
+
+
+def mask_wide(k: int) -> int:
+    """Low 2k bits (no MASK_TABLE[32]-style quirk in the wide path)."""
+    return (1 << (2 * k)) - 1
+
+
+def word_from_bytes_wide(s: bytes) -> int:
+    """Pack up to 64 ASCII bases LSB-first into a 128-bit int."""
+    if len(s) > 64:
+        raise ValueError("kmers longer than 64 bases not supported")
+    w = 0
+    for c in reversed(s):
+        w = ((w << 2) | encode_binary(chr(c))) & MASK128
+    return w
+
+
+def word_to_string_wide(w: int, k: int) -> str:
+    out = []
+    for _ in range(k):
+        out.append(BASE_TABLE[w & 3])
+        w >>= 2
+    return "".join(out)
+
+
+def reverse_bases_wide(w: int) -> int:
+    """Reverse all 64 base slots of a 128-bit word (6-step swap ladder)."""
+    res = w & MASK128
+    out = 0
+    for i in range(64):
+        out = (out << 2) | ((res >> (2 * i)) & 3)
+    return out
+
+
+def reverse_complement_wide(w: int, k: int) -> int:
+    """complement-all + full reversal + shift, the 128-bit analog of
+    naive_impl/kmer.rs:124-136."""
+    res = (~w) & MASK128
+    return reverse_bases_wide(res) >> (2 * (64 - k))
+
+
+def canonical_wide(w: int, k: int) -> int:
+    return min(w, reverse_complement_wide(w, k))
+
+
+def append_base_wide(data: int, b: int, k: int):
+    """Rolling append (returns new word, evicted low base)."""
+    evicted = data & 3
+    new = ((data >> 2) | (b << (2 * k - 2))) & MASK128
+    return new, evicted
+
+
+def prepend_base_wide(data: int, b: int, k: int):
+    evicted = (data >> (2 * k - 2)) & 3
+    new = ((data << 2) | b) & mask_wide(k)
+    return new, evicted
+
+
+def mix_hash_wide(w: int, seed: int = 0) -> int:
+    """128-bit word -> 64-bit bucketing hash: mix the two u64 halves."""
+    lo64 = w & MASK64
+    hi64 = (w >> 64) & MASK64
+    return mix_hash(lo64 ^ mix_hash(hi64, seed ^ 0xA5A5A5A5), seed)

@@ -148,3 +148,55 @@ def lookup(table: CountTable, queries: U64) -> jnp.ndarray:
     fk = U64(table.keys.hi[found], table.keys.lo[found])
     hit = (lo_idx < table.n_unique) & u.eq(fk, queries)
     return jnp.where(hit, table.counts[found], 0)
+
+
+# -- multi-word (k <= 64) count tables ----------------------------------------
+
+from ..core import u128 as u128mod          # noqa: E402
+from ..core.u128 import U128                # noqa: E402
+
+
+class CountTableWide(NamedTuple):
+    """Fixed-capacity count table keyed by 128-bit k-mer words."""
+
+    keys: U128
+    counts: jnp.ndarray
+    n_unique: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.counts.shape[-1]
+
+
+def count_words_wide(words: U128, valid: jnp.ndarray) -> CountTableWide:
+    """Sort + count 128-bit keys: 5-key lexicographic sort
+    (invalid, hi.hi, hi.lo, lo.hi, lo.lo) then run-length counting."""
+    flat = U128(
+        U64(words.hi.hi.reshape(-1), words.hi.lo.reshape(-1)),
+        U64(words.lo.hi.reshape(-1), words.lo.lo.reshape(-1)))
+    v = valid.reshape(-1)
+    invalid_key = (~v).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (invalid_key, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
+        num_keys=5, is_stable=True)
+    s = U128(U64(out[1], out[2]), U64(out[3], out[4]))
+    sv = out[5]
+    n = sv.shape[-1]
+    prev = jax.tree.map(lambda x: jnp.roll(x, 1), s)
+    prev_valid = jnp.roll(sv, 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    starts = sv & ((idx == 0) | u128mod.ne(s, prev) | ~prev_valid)
+    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_unique = jnp.maximum(gid[-1] + 1, 0) * sv.any().astype(jnp.int32)
+    gid_safe = jnp.clip(gid, 0, n - 1)
+    counts = jax.ops.segment_sum(sv.astype(jnp.int32), gid_safe,
+                                 num_segments=n)
+    gid_for_min = jnp.where(sv, gid_safe, n - 1)
+    pos = jnp.clip(jax.ops.segment_min(idx, gid_for_min, num_segments=n),
+                   0, n - 1)
+    live = idx < n_unique
+    take = lambda x: jnp.where(live, x[pos], 0).astype(jnp.uint32)
+    keys = U128(U64(take(s.hi.hi), take(s.hi.lo)),
+                U64(take(s.lo.hi), take(s.lo.lo)))
+    return CountTableWide(keys=keys, counts=jnp.where(live, counts, 0),
+                          n_unique=n_unique)

@@ -127,3 +127,72 @@ def lookup_sharded(tables: CountTable, queries: U64, n_shards: int,
         counts.append(count_ops.lookup(shard, queries))
     stacked = jnp.stack(counts)                    # [D, Q]
     return jnp.take_along_axis(stacked, owner[None, :], axis=0)[0]
+
+
+# -- multi-word (33 <= k <= 64) pipelines -------------------------------------
+
+from ..core import u128 as u128mod          # noqa: E402
+from ..core.u128 import U128                # noqa: E402
+
+
+def canonical_kmers_wide(reads: jnp.ndarray, k: int):
+    win = kmer_ops.kmer_windows_wide(reads, k)
+    return kmer_ops.canonical_word_wide(win.fw, win.rc), win.valid
+
+
+def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
+    """Single-device counter for multi-word k (BASELINE config 3)."""
+    canon, valid = canonical_kmers_wide(reads, k)
+    table = count_ops.count_words_wide(canon, valid)
+    n_win = reads.shape[-1] - k + 1
+    metrics = {
+        "reads": jnp.int32(reads.shape[0]),
+        "kmers_emitted": valid.sum().astype(jnp.int32),
+        "windows_skipped":
+            jnp.int32(reads.shape[0] * n_win) - valid.sum().astype(jnp.int32),
+    }
+    return CountResult(table=table, metrics=metrics)
+
+
+def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
+                             seed: int, axis: str) -> CountResult:
+    canon, valid = canonical_kmers_wide(reads_local, k)
+    routed = route_ops.route_wide(canon, valid, axis, capacity, seed)
+    table = count_ops.count_words_wide(routed.words, routed.valid)
+    n_win = reads_local.shape[-1] - k + 1
+    emitted = valid.sum().astype(jnp.int32)
+    metrics = {
+        "reads": jax.lax.psum(jnp.int32(reads_local.shape[0]), axis),
+        "kmers_emitted": jax.lax.psum(emitted, axis),
+        "windows_skipped": jax.lax.psum(
+            jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
+        "route_overflow": jax.lax.psum(routed.overflow, axis),
+        "route_bytes": jax.lax.psum(
+            jnp.int32(routed.words.lo.lo.size * 17), axis),
+    }
+    return CountResult(table=table, metrics=metrics)
+
+
+def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
+                              seed: int = 0, axis: str = "d"):
+    """Sharded counter for 33 <= k <= 64 (2xu64 keys)."""
+    from .count import CountTableWide
+
+    out_spec = CountResult(
+        table=CountTableWide(
+            keys=U128(U64(P(axis), P(axis)), U64(P(axis), P(axis))),
+            counts=P(axis), n_unique=P(axis)),
+        metrics={m: P() for m in ("reads", "kmers_emitted", "windows_skipped",
+                                  "route_overflow", "route_bytes")},
+    )
+    body = functools.partial(_sharded_count_body_wide, k=k,
+                             capacity=route_capacity, seed=seed, axis=axis)
+
+    def wrapped(reads_local):
+        res = body(reads_local)
+        table = jax.tree.map(lambda x: x[None], res.table)
+        return CountResult(table=table, metrics=res.metrics)
+
+    fn = shard_map(wrapped, mesh=mesh, in_specs=(P(axis),),
+                   out_specs=out_spec)
+    return jax.jit(fn)

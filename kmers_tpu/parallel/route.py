@@ -113,3 +113,53 @@ def route(words: U64, valid: jnp.ndarray, axis_name: str,
         valid=recv_valid.reshape(-1),
         overflow=overflow,
     )
+
+
+# -- multi-word (k <= 64) routing ---------------------------------------------
+
+from ..core import u128 as u128mod          # noqa: E402
+from ..core.u128 import U128                # noqa: E402
+
+
+class RoutedWide(NamedTuple):
+    words: U128
+    valid: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def owner_of_wide(words: U128, n_shards: int, seed: int = 0) -> jnp.ndarray:
+    h = u128mod.mix_hash(words, seed)
+    return _mul_shift32(h.hi, n_shards)
+
+
+def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
+               capacity: int, seed: int = 0) -> RoutedWide:
+    """Route 128-bit k-mer words to their owning shard (same fixed-capacity
+    design as `route`, with a 4-lane payload)."""
+    d = jax.lax.axis_size(axis_name)
+    flat = U128(
+        U64(words.hi.hi.reshape(-1), words.hi.lo.reshape(-1)),
+        U64(words.lo.hi.reshape(-1), words.lo.lo.reshape(-1)))
+    v = valid.reshape(-1)
+    owner = jnp.where(v, owner_of_wide(flat, d, seed), d).astype(jnp.int32)
+    o, hh, hl, lh, ll, sv = jax.lax.sort(
+        (owner, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
+        num_keys=1, is_stable=True)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(o), jnp.clip(o, 0, d), num_segments=d + 1)[:d]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    n = ll.shape[-1]
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    src = jnp.clip(starts[:, None] + j, 0, n - 1)
+    in_bucket = j < jnp.minimum(counts, capacity)[:, None]
+    overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
+    a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    recv = [a2a(arr[src]) for arr in (hh, hl, lh, ll)]
+    recv_valid = a2a(in_bucket)
+    return RoutedWide(
+        words=U128(U64(recv[0].reshape(-1), recv[1].reshape(-1)),
+                   U64(recv[2].reshape(-1), recv[3].reshape(-1))),
+        valid=recv_valid.reshape(-1),
+        overflow=overflow,
+    )
