@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused per-k-mer minimizer selection.
+
+The deque of the reference (seq_vector/minimizers.rs) is inherently
+sequential; this kernel computes the same output -- for every k-mer i the
+leftmost minimal-hash w-mer in [i, i+k-w] -- as a static unrolled scan
+carrying (hash, word, offset) tuples through k-w+1 rolled compares
+(leftmost-tie rule = strict-<; minimizers.rs:72-79).
+
+Unlike the jnp path (ops.minimizer), the winning w-mer is carried through
+the scan instead of re-gathered, so the kernel does no gathers at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window import _shift_left_roll
+
+
+def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
+                      *, k: int, w: int, seed: int, use_lex: bool):
+    ascii_u8 = reads_ref[:]
+    BB, L = ascii_u8.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
+
+    c = ascii_u8.astype(jnp.uint32)
+    internal = (c >> 1) & jnp.uint32(3)
+    codes = internal ^ (internal >> 1)
+    lower = c | jnp.uint32(0x20)
+    # 0/1 uint32 (Mosaic lane rotate is 32-bit-only; see window.py)
+    valid = (
+        (lower == jnp.uint32(ord("a"))) | (lower == jnp.uint32(ord("c"))) |
+        (lower == jnp.uint32(ord("g"))) | (lower == jnp.uint32(ord("t")))
+    ).astype(jnp.uint32)
+
+    # pack w-mer words at every position
+    wd = codes
+    for s in (1, 2, 4, 8):
+        wd = wd | (_shift_left_roll(wd, s, iota) << (2 * s))
+    if w <= 16:
+        wm_lo = wd & jnp.uint32((1 << (2 * w)) - 1) if w < 16 else wd
+        wm_hi = jnp.zeros_like(wm_lo)
+    else:
+        wm_lo = wd
+        wm_hi = _shift_left_roll(wd, 16, iota)
+        if w < 32:
+            wm_hi = wm_hi & jnp.uint32((1 << (2 * (w - 16))) - 1)
+
+    def ladder(x):
+        x = ((x >> 2) & jnp.uint32(0x33333333)) | ((x & jnp.uint32(0x33333333)) << 2)
+        x = ((x >> 4) & jnp.uint32(0x0F0F0F0F)) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+        x = ((x >> 8) & jnp.uint32(0x00FF00FF)) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+        return (x >> 16) | (x << 16)
+
+    def mix32(x):
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    if use_lex:
+        # LexHasher: base reversal, shift down to w bases (hash.rs:51-72)
+        rh, rl = ladder(wm_lo), ladder(wm_hi)
+        sh = 2 * (32 - w)
+        if sh == 0:
+            h_hi, h_lo = rh, rl
+        elif sh < 32:
+            h_lo = (rl >> sh) | (rh << (32 - sh))
+            h_hi = rh >> sh
+        elif sh == 32:
+            h_lo, h_hi = rh, jnp.zeros_like(rh)
+        else:
+            h_lo = rh >> (sh - 32)
+            h_hi = jnp.zeros_like(rh)
+    else:
+        s_lo = jnp.uint32(seed & 0xFFFFFFFF)
+        s_hi = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
+        h_lo = mix32(wm_lo ^ mix32(wm_hi ^ s_lo))
+        h_hi = mix32(wm_hi ^ mix32(wm_lo ^ s_hi ^ jnp.uint32(0x9E3779B9)))
+
+    # sliding leftmost argmin over offsets 0..k-w, carrying the word
+    best_h_hi, best_h_lo = h_hi, h_lo
+    best_w_hi, best_w_lo = wm_hi, wm_lo
+    best_off = jnp.zeros((BB, L), dtype=jnp.int32)
+    for off in range(1, k - w + 1):
+        ch_hi = _shift_left_roll(h_hi, off, iota)
+        ch_lo = _shift_left_roll(h_lo, off, iota)
+        cw_hi = _shift_left_roll(wm_hi, off, iota)
+        cw_lo = _shift_left_roll(wm_lo, off, iota)
+        take = (ch_hi < best_h_hi) | ((ch_hi == best_h_hi) &
+                                      (ch_lo < best_h_lo))
+        best_h_hi = jnp.where(take, ch_hi, best_h_hi)
+        best_h_lo = jnp.where(take, ch_lo, best_h_lo)
+        best_w_hi = jnp.where(take, cw_hi, best_w_hi)
+        best_w_lo = jnp.where(take, cw_lo, best_w_lo)
+        best_off = jnp.where(take, off, best_off)
+
+    # k-window validity
+    v = valid
+    got = 1
+    while got < k:
+        step = got if got * 2 <= k else k - got
+        v = v & _shift_left_roll(v, step, iota)
+        got += step
+    v = v & (iota < L - k + 1).astype(jnp.uint32)
+
+    word_hi_ref[:] = best_w_hi
+    word_lo_ref[:] = best_w_lo
+    pos_ref[:] = iota + best_off
+    valid_ref[:] = v.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "seed", "use_lex",
+                                             "block_rows", "interpret"))
+def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
+                     use_lex: bool = False, block_rows: int = 256,
+                     interpret: bool = False):
+    """Per-k-mer minimizers over [B, L] uint8 reads.
+
+    Returns (word_hi, word_lo, pos, valid_u8), all [B, L]: entry p is the
+    minimizer of the k-mer starting at p (absolute w-mer position in pos).
+    Element-wise identical to ops.minimizer.minimizer_stream and therefore
+    to the reference deque.
+    """
+    assert 1 <= w <= min(k, 32) and k <= reads.shape[-1]
+    B, L = reads.shape
+    bb = min(block_rows, B)
+    assert B % bb == 0
+    spec = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
+    outi = jax.ShapeDtypeStruct((B, L), jnp.int32)
+    out8 = jax.ShapeDtypeStruct((B, L), jnp.uint8)
+    return pl.pallas_call(
+        functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
+                          use_lex=use_lex),
+        grid=(B // bb,),
+        in_specs=[spec],
+        out_specs=(spec, spec, spec, spec),
+        out_shape=(out32, out32, outi, out8),
+        interpret=interpret,
+    )(reads)

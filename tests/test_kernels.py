@@ -1,0 +1,76 @@
+"""Pallas kernels vs the jnp reference path (interpret mode on CPU;
+SURVEY.md §5.2: kernels with manual memory handling are tested against the
+jnp implementation)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmers_tpu.core import u64 as u
+from kmers_tpu.kernels import window as kwin
+from kmers_tpu.ops import kmer as kmer_ops
+
+RNG = np.random.default_rng(77)
+
+
+def make_reads(B, L, n_frac=0.03):
+    reads = RNG.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    mask = RNG.random((B, L)) < n_frac
+    reads[mask] = ord("N")
+    # sprinkle lowercase
+    lower = RNG.random((B, L)) < 0.1
+    reads[lower] |= 0x20
+    return jnp.asarray(reads)
+
+
+@pytest.mark.parametrize("k", [5, 16, 17, 31, 32])
+def test_window_kernel_matches_jnp(k):
+    B, L = 8, 256
+    reads = make_reads(B, L)
+    got = kwin.pack_canonical_hash(reads, k, seed=3, block_rows=8,
+                                   interpret=True)
+    win = kmer_ops.kmer_windows(reads, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    h = u.mix_hash(canon, 3)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.hi))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(h.hi))
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(h.lo))
+    np.testing.assert_array_equal(
+        np.asarray(got[4]).astype(bool), np.asarray(win.valid))
+
+
+def test_window_kernel_multiblock_grid():
+    k, B, L = 31, 32, 128
+    reads = make_reads(B, L)
+    got = kwin.pack_canonical_hash(reads, k, block_rows=8, interpret=True)
+    win = kmer_ops.kmer_windows(reads, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.hi))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo))
+
+
+from kmers_tpu.kernels import minimizer as kmini
+from kmers_tpu.ops import hash as hash_ops
+from kmers_tpu.ops import minimizer as mini_ops
+
+
+@pytest.mark.parametrize("use_lex", [False, True])
+def test_minimizer_kernel_matches_jnp(use_lex):
+    k, w, B, L = 31, 11, 8, 256
+    reads = make_reads(B, L)
+    got = kmini.minimizer_kernel(reads, k, w, seed=5, use_lex=use_lex,
+                                 block_rows=8, interpret=True)
+    hash_fn = hash_ops.lex_hash_fn(w) if use_lex else hash_ops.mix_hash_fn(5)
+    want = mini_ops.minimizer_stream(reads, k, w, hash_fn)
+    valid = np.asarray(want.valid)
+    gv = np.asarray(got[3]).astype(bool)
+    np.testing.assert_array_equal(gv, valid)
+    # compare only valid positions (invalid carry garbage words)
+    np.testing.assert_array_equal(np.asarray(got[0])[valid],
+                                  np.asarray(want.word.hi)[valid])
+    np.testing.assert_array_equal(np.asarray(got[1])[valid],
+                                  np.asarray(want.word.lo)[valid])
+    np.testing.assert_array_equal(np.asarray(got[2])[valid],
+                                  np.asarray(want.pos)[valid])
