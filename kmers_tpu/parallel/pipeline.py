@@ -196,3 +196,98 @@ def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
     fn = shard_map(wrapped, mesh=mesh, in_specs=(P(axis),),
                    out_specs=out_spec)
     return jax.jit(fn)
+
+
+# -- sequence-parallel counting (long contigs; SURVEY §5.7) -------------------
+
+from ..ops import hash as hash_ops          # noqa: E402
+from ..ops import minimizer as mini_ops     # noqa: E402
+from . import halo as halo_ops              # noqa: E402
+
+
+def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
+                                   seed: int = 0, axis: str = "d"):
+    """Count k-mers of ONE long sequence sharded contiguously over `axis`.
+
+    Input: [G] uint8 ASCII, G divisible by the axis size; each device holds
+    a contiguous block and fetches a (k-1)-base halo from its right
+    neighbor over ICI before windowing.  Windows spanning the global end
+    are masked via the invalid-byte machinery (halo.py).
+    """
+    wide = k > 32
+    out_spec = CountResult(
+        table=(count_ops.CountTableWide(
+                   keys=U128(U64(P(axis), P(axis)), U64(P(axis), P(axis))),
+                   counts=P(axis), n_unique=P(axis)) if wide else
+               CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                          n_unique=P(axis))),
+        metrics={m: P() for m in ("kmers_emitted", "route_overflow")},
+    )
+
+    def body(seq_local):
+        seq_local = seq_local.reshape(-1)
+        if wide:
+            win = halo_ops.sharded_windows_wide(seq_local, k, axis)
+            canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+            routed = route_ops.route_wide(canon, win.valid, axis,
+                                          route_capacity, seed)
+            table = count_ops.count_words_wide(routed.words, routed.valid)
+        else:
+            win = halo_ops.sharded_windows(seq_local, k, axis)
+            canon = kmer_ops.canonical_word(win.fw, win.rc)
+            routed = route_ops.route(canon, win.valid, axis,
+                                     route_capacity, seed)
+            table = count_ops.count_words(routed.words, routed.valid)
+        metrics = {
+            "kmers_emitted": jax.lax.psum(
+                win.valid.sum().astype(jnp.int32), axis),
+            "route_overflow": jax.lax.psum(routed.overflow, axis),
+        }
+        return CountResult(table=jax.tree.map(lambda x: x[None], table),
+                           metrics=metrics)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=out_spec)
+    return jax.jit(fn)
+
+
+# -- sharded minimizer bucketing (BASELINE config 4) ---------------------------
+
+def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
+                                   route_capacity: int, seed: int = 0,
+                                   use_lex: bool = False, axis: str = "d"):
+    """Data-parallel minimizer selection + hashed bucketing over the mesh.
+
+    reads [B, L] sharded over `axis` -> per-k-mer minimizers (leftmost-tie,
+    deque-equivalent) -> each k-mer's MINIMIZER word is routed to the shard
+    owning its hash -> per-shard (minimizer, k-mer count) tables: the
+    super-k-mer partition step of distributed k-mer table construction.
+
+    Capacity note: unlike raw k-mer routing, minimizer words are heavily
+    repeated (one minimizer covers up to k-w+1 consecutive windows), so
+    per-destination load is skewed -- size `route_capacity` toward the
+    worst case (all of a sender's lanes on one destination) or surface the
+    `route_overflow` metric and re-route the remainder.
+    """
+    out_spec = CountResult(
+        table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                         n_unique=P(axis)),
+        metrics={m: P() for m in ("kmers_emitted", "route_overflow")},
+    )
+    hash_fn = (hash_ops.lex_hash_fn(w) if use_lex
+               else hash_ops.mix_hash_fn(seed))
+
+    def body(reads_local):
+        mm = mini_ops.minimizer_stream(reads_local, k, w, hash_fn)
+        routed = route_ops.route(mm.word, mm.valid, axis, route_capacity,
+                                 seed)
+        table = count_ops.count_words(routed.words, routed.valid)
+        metrics = {
+            "kmers_emitted": jax.lax.psum(
+                mm.valid.sum().astype(jnp.int32), axis),
+            "route_overflow": jax.lax.psum(routed.overflow, axis),
+        }
+        return CountResult(table=jax.tree.map(lambda x: x[None], table),
+                           metrics=metrics)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=out_spec)
+    return jax.jit(fn)

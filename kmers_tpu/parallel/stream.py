@@ -1,0 +1,140 @@
+"""Host-driven streaming k-mer counting over many read batches.
+
+Real datasets do not fit one device call; this module folds a stream of
+[B, L] batches into a fixed-capacity device count table:
+
+  per batch:  count_reads (fused windows+canonical+sort+segment-sum)
+  merge:      concat + 3-key sort + run-length re-count (count_weighted),
+              then compact back to the fixed capacity.
+
+Keys are kept sorted, so the merge is one sort of (capacity + batch) lanes
+-- no scatter, no host round-trip of the table.  If the merged table
+exceeds capacity, the LARGEST keys are dropped and counted in
+``dropped_unique`` / ``dropped_kmers`` ("no silent caps", SURVEY.md §7);
+size capacity above the expected distinct-k-mer count.
+
+Checkpoint/resume (SURVEY.md §5.4): ``save`` / ``load`` persist the table
+in an endian-stable npz layout (little-endian u32 words of the 2-bit
+LSB-first packing), mirroring the reference's serde support
+(seq_vector.rs:18-22).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import u64 as u
+from ..core.u64 import U64
+from . import count as count_ops
+from . import pipeline
+from .count import CountTable
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _merge_bounded(table: CountTable, batch_table: CountTable,
+                   capacity: int):
+    merged = count_ops.merge_tables(table, batch_table)
+    idx = jnp.arange(merged.capacity, dtype=jnp.int32)
+    live = idx < merged.n_unique
+    kept = idx < jnp.minimum(merged.n_unique, capacity)
+    dropped_unique = jnp.maximum(merged.n_unique - capacity, 0)
+    dropped_kmers = jnp.where(live & ~kept, merged.counts, 0).sum()
+    out = CountTable(
+        keys=U64(merged.keys.hi[:capacity], merged.keys.lo[:capacity]),
+        counts=merged.counts[:capacity],
+        n_unique=jnp.minimum(merged.n_unique, capacity),
+    )
+    return out, dropped_unique.astype(jnp.int32), dropped_kmers.astype(jnp.int32)
+
+
+class StreamingCounter:
+    """Fold read batches into one fixed-capacity canonical k-mer table."""
+
+    def __init__(self, k: int, capacity: int):
+        if not (1 <= k <= 32):
+            raise ValueError("StreamingCounter supports k <= 32; use the "
+                             "wide pipeline for larger k")
+        self.k = k
+        self.capacity = capacity
+        self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
+        z = jnp.zeros(capacity, dtype=jnp.uint32)
+        self.table = CountTable(keys=U64(z, z),
+                                counts=jnp.zeros(capacity, jnp.int32),
+                                n_unique=jnp.int32(0))
+        self.batches = 0
+        self.kmers = 0
+        self.dropped_unique = 0
+        self.dropped_kmers = 0
+
+    def update(self, reads: jnp.ndarray) -> None:
+        """Count one [B, L] uint8 batch and merge it in."""
+        res = self._count(jnp.asarray(reads))
+        self.table, du, dk = _merge_bounded(self.table, res.table,
+                                            self.capacity)
+        self.batches += 1
+        self.kmers += int(res.metrics["kmers_emitted"])
+        self.dropped_unique += int(du)
+        self.dropped_kmers += int(dk)
+
+    def lookup(self, words: U64) -> jnp.ndarray:
+        return count_ops.lookup(self.table, words)
+
+    def to_pairs(self):
+        """Host-side [(word, count)] of live slots (sorted by word)."""
+        nu = int(self.table.n_unique)
+        keys = u.to_numpy(self.table.keys)[:nu]
+        counts = np.asarray(self.table.counts)[:nu]
+        return [(int(a), int(b)) for a, b in zip(keys, counts)]
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            keys_hi=np.asarray(self.table.keys.hi, dtype="<u4"),
+            keys_lo=np.asarray(self.table.keys.lo, dtype="<u4"),
+            counts=np.asarray(self.table.counts, dtype="<i4"),
+            n_unique=np.int64(int(self.table.n_unique)),
+            k=np.int64(self.k),
+            capacity=np.int64(self.capacity),
+            batches=np.int64(self.batches),
+            kmers=np.int64(self.kmers),
+            dropped_unique=np.int64(self.dropped_unique),
+            dropped_kmers=np.int64(self.dropped_kmers),
+        )
+
+    @staticmethod
+    def load(path: str) -> "StreamingCounter":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        sc = StreamingCounter(int(z["k"]), int(z["capacity"]))
+        sc.table = CountTable(
+            keys=U64(jnp.asarray(z["keys_hi"].astype(np.uint32)),
+                     jnp.asarray(z["keys_lo"].astype(np.uint32))),
+            counts=jnp.asarray(z["counts"].astype(np.int32)),
+            n_unique=jnp.int32(int(z["n_unique"])),
+        )
+        sc.batches = int(z["batches"])
+        sc.kmers = int(z["kmers"])
+        sc.dropped_unique = int(z["dropped_unique"])
+        sc.dropped_kmers = int(z["dropped_kmers"])
+        return sc
+
+
+def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
+                length: int = 256,
+                counter: Optional[StreamingCounter] = None
+                ) -> StreamingCounter:
+    """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
+    long records).  Pass `counter` to resume from a checkpoint."""
+    from ..io import fastx
+
+    sc = counter if counter is not None else StreamingCounter(k, capacity)
+    for rows in fastx.read_kmer_batches(path, k=k, batch=batch,
+                                        length=length):
+        sc.update(rows)
+    return sc

@@ -1,0 +1,101 @@
+"""Streaming counter: multi-batch folding, capacity bounds, checkpoint/resume,
+file-to-table end-to-end."""
+
+import collections
+import random
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kmers_tpu.oracle import numpy_ref as o
+from kmers_tpu.parallel.stream import StreamingCounter, count_fastx
+
+RNG = random.Random(1357)
+
+
+def rand_seq(n, alphabet=b"ACGTN"):
+    return bytes(RNG.choice(alphabet) for _ in range(n))
+
+
+def make_batch(n_reads, L):
+    reads = [rand_seq(L) for _ in range(n_reads)]
+    arr = np.stack([np.frombuffer(r, dtype=np.uint8) for r in reads])
+    return reads, jnp.asarray(arr)
+
+
+def oracle_counts(all_reads, k):
+    c = collections.Counter()
+    for r in all_reads:
+        it = o.CanonicalKmerIterator(r, k)
+        for _, fw, rc in it:
+            c[min(fw, rc)] += 1
+    return sorted(c.items())
+
+
+def test_streaming_matches_oracle_across_batches():
+    k = 21
+    all_reads = []
+    sc = StreamingCounter(k, capacity=4096)
+    for _ in range(5):
+        reads, arr = make_batch(8, 60)
+        all_reads += reads
+        sc.update(arr)
+    assert sc.batches == 5
+    assert sc.dropped_unique == 0
+    assert sc.to_pairs() == oracle_counts(all_reads, k)
+    assert sc.kmers == sum(c for _, c in oracle_counts(all_reads, k))
+
+
+def test_streaming_capacity_overflow_counted():
+    k = 15
+    sc = StreamingCounter(k, capacity=16)  # absurdly small
+    _, arr = make_batch(8, 60)
+    sc.update(arr)
+    sc.update(make_batch(8, 60)[1])
+    assert sc.dropped_unique > 0
+    assert sc.dropped_kmers > 0
+    assert int(sc.table.n_unique) <= 16
+
+
+def test_checkpoint_resume(tmp_path):
+    k = 21
+    batches = [make_batch(6, 50) for _ in range(4)]
+    all_reads = [r for reads, _ in batches for r in reads]
+    # full run
+    full = StreamingCounter(k, capacity=2048)
+    for _, arr in batches:
+        full.update(arr)
+    # checkpointed run: 2 batches, save, load, 2 more
+    a = StreamingCounter(k, capacity=2048)
+    a.update(batches[0][1])
+    a.update(batches[1][1])
+    p = str(tmp_path / "ckpt.npz")
+    a.save(p)
+    b = StreamingCounter.load(p)
+    assert b.batches == 2 and b.k == k
+    b.update(batches[2][1])
+    b.update(batches[3][1])
+    assert b.to_pairs() == full.to_pairs()
+    assert b.kmers == full.kmers
+    assert b.to_pairs() == oracle_counts(all_reads, k)
+
+
+def test_count_fastx_end_to_end(tmp_path):
+    k = 17
+    records = [rand_seq(RNG.randrange(20, 300), b"ACGT") for _ in range(15)]
+    records.append(rand_seq(1500, b"ACGTN"))  # long record: halo chunking
+    p = str(tmp_path / "reads.fasta")
+    with open(p, "wb") as f:
+        for i, r in enumerate(records):
+            f.write(b">r%d\n" % i)
+            for j in range(0, len(r), 61):
+                f.write(r[j:j + 61] + b"\n")
+    sc = count_fastx(p, k, capacity=8192, batch=8, length=128)
+    want = collections.Counter()
+    for r in records:
+        it = o.CanonicalKmerIterator(r, k)
+        for _, fw, rc in it:
+            want[min(fw, rc)] += 1
+    assert sc.to_pairs() == sorted(want.items())
+    assert sc.dropped_unique == 0
