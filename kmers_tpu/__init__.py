@@ -18,10 +18,12 @@ Layers (bottom-up):
   * ``kmers_tpu.io``       -- FASTA/FASTQ ingest and read batching.
 """
 
+from . import utils
 from .core.spec import KmerSpec
-from .core import u64
-from .ops import encoding, hash, kmer, minimizer, seqvector
-from .ops.kmer import kmer_windows, canonical_word
+from .core import u64, u128, wideint
+from .ops import encoding, generic, hash, kmer, minimizer, seqvector
+from .ops.generic import GenericSpec
+from .ops.kmer import kmer_windows, kmer_windows_wide, canonical_word
 from .ops.minimizer import minimizer_stream
 from .ops.seqvector import SeqVector
 
@@ -29,13 +31,19 @@ __version__ = "0.1.0"
 
 __all__ = [
     "KmerSpec",
+    "GenericSpec",
     "u64",
+    "u128",
+    "wideint",
+    "utils",
     "encoding",
+    "generic",
     "hash",
     "kmer",
     "minimizer",
     "seqvector",
     "kmer_windows",
+    "kmer_windows_wide",
     "canonical_word",
     "minimizer_stream",
     "SeqVector",
