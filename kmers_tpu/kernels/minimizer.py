@@ -119,7 +119,7 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
 @functools.partial(jax.jit, static_argnames=("k", "w", "seed", "use_lex",
                                              "block_rows", "interpret"))
 def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
-                     use_lex: bool = False, block_rows: int = 256,
+                     use_lex: bool = False, block_rows: int = 64,
                      interpret: bool = False):
     """Per-k-mer minimizers over [B, L] uint8 reads.
 
@@ -136,6 +136,8 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
     outi = jax.ShapeDtypeStruct((B, L), jnp.int32)
     out8 = jax.ShapeDtypeStruct((B, L), jnp.uint8)
+    # the unrolled k-w+1 argmin scan keeps ~2.5(k-w) u32 blocks live in
+    # VMEM; keep blocks small and raise the scoped-vmem cap accordingly
     return pl.pallas_call(
         functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
                           use_lex=use_lex),
@@ -143,5 +145,7 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
         in_specs=[spec],
         out_specs=(spec, spec, spec, spec),
         out_shape=(out32, out32, outi, out8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(reads)

@@ -183,3 +183,63 @@ class SeqVector:
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         return SeqVector(jnp.asarray(z["words"].astype(np.uint32)),
                          int(z["n_bases"]))
+
+
+class SeqVectorSlice:
+    """Zero-copy view over a SeqVector (seq_vector.rs:24-81): same device
+    words, base offset applied at read time."""
+
+    def __init__(self, sv: "SeqVector", start_pos: int, length: int):
+        assert 0 <= start_pos and start_pos + length <= sv.n_bases
+        self.sv = sv
+        self.start_pos = start_pos
+        self.length = length
+
+    def __len__(self) -> int:
+        return self.length
+
+    def is_empty(self) -> bool:
+        return self.length == 0
+
+    def get_kmers(self, positions: jnp.ndarray, k: int) -> U64:
+        return self.sv.get_kmers(positions + self.start_pos, k)
+
+    def get_kmer_u64(self, pos: int, k: int) -> int:
+        assert pos + k <= self.length
+        return self.sv.get_kmer_u64(pos + self.start_pos, k)
+
+    def get_base(self, pos: int) -> int:
+        return self.get_kmer_u64(pos, 1)
+
+    def slice(self, start: int, end: int) -> "SeqVectorSlice":
+        assert start <= end <= self.length
+        return SeqVectorSlice(self.sv, self.start_pos + start, end - start)
+
+    def iter_kmers(self, k: int):
+        n = self.length - k + 1
+        pos = jnp.arange(n, dtype=jnp.int32)
+        host = u.to_numpy(self.get_kmers(pos, k))
+        for i in range(n):
+            yield int(host[i]), k
+
+    def to_string(self) -> str:
+        codes = unpack_words_to_codes(self.sv.words, self.sv.n_bases)
+        codes = codes[self.start_pos:self.start_pos + self.length]
+        return bytes(np.asarray(encoding.codes_to_ascii(codes, lower=False))
+                     ).decode()
+
+    def __str__(self) -> str:
+        return self.to_string()
+
+
+def _sv_as_slice(self) -> "SeqVectorSlice":
+    return SeqVectorSlice(self, 0, self.n_bases)
+
+
+def _sv_slice(self, start: int, end: int) -> "SeqVectorSlice":
+    assert start <= end <= self.n_bases
+    return SeqVectorSlice(self, start, end - start)
+
+
+SeqVector.as_slice = _sv_as_slice
+SeqVector.slice = _sv_slice

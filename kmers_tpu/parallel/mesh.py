@@ -48,3 +48,42 @@ def process_local_batch(global_batch: int, mesh: Mesh) -> int:
     """Per-device batch size (ceil)."""
     d = mesh.shape["d"]
     return (global_batch + d - 1) // d
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (SURVEY.md §5.8).
+
+    On TPU pods arguments are auto-detected from the environment; pass them
+    explicitly for CPU multi-process simulation.  Call before any other JAX
+    API.  After this, jax.devices() spans all hosts and make_mesh() builds
+    a global mesh; each process feeds its local shard of every batch
+    (process_index-based loading, see `local_read_slice`).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def local_read_slice(global_batch: int) -> slice:
+    """The slice of each global read batch this process should load
+    (data-parallel host loading, jax.process_index)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = (global_batch + n - 1) // n
+    return slice(i * per, min((i + 1) * per, global_batch))
+
+
+def make_global_array(local_rows: "np.ndarray", mesh: Mesh):
+    """Assemble a process-local [B_local, L] block into a global array
+    sharded over 'd' (jax.make_array_from_process_local_data)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec("d"))
+    return jax.make_array_from_process_local_data(sharding, local_rows)

@@ -74,3 +74,26 @@ def test_minimizer_kernel_matches_jnp(use_lex):
                                   np.asarray(want.word.lo)[valid])
     np.testing.assert_array_equal(np.asarray(got[2])[valid],
                                   np.asarray(want.pos)[valid])
+
+
+from kmers_tpu.core import u128 as u128mod
+from kmers_tpu.kernels import window_wide as kww
+
+
+@pytest.mark.parametrize("k", [33, 48, 63, 64])
+def test_window_wide_kernel_matches_jnp(k):
+    B, L = 8, 256
+    reads = make_reads(B, L)
+    got = kww.pack_canonical_hash_wide(reads, k, seed=7, block_rows=8,
+                                       interpret=True)
+    win = kmer_ops.kmer_windows_wide(reads, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    h = u128mod.mix_hash(canon, 7)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.lo.lo))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo.hi))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(canon.hi.lo))
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(canon.hi.hi))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(h.hi))
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(h.lo))
+    np.testing.assert_array_equal(np.asarray(got[6]).astype(bool),
+                                  np.asarray(win.valid))

@@ -503,3 +503,22 @@ def test_kmer_windows_short_read():
         want = o.valid_kmer_positions(seq, k)
         got = [(p, int(fw[p])) for p in range(out.n_windows) if valid[p]]
         assert got == [(p, f) for p, f, _ in want], f"L={L} k={k}"
+
+
+def test_seqvector_slice_parity():
+    seq = rand_seq(120)
+    sv = sv_ops.SeqVector.from_bytes(seq)
+    osv = o.SeqVector.from_bytes(seq)
+    sl = sv.slice(17, 93)
+    osl = osv.slice(17, 93)
+    assert len(sl) == len(osl)
+    assert sl.to_string() == str(osl)
+    k = 13
+    for p in (0, 5, len(sl) - k):
+        assert sl.get_kmer_u64(p, k) == osl.get_kmer_u64(p, k)
+    # re-slice
+    s2, o2 = sl.slice(10, 40), osl.slice(10, 40)
+    assert s2.to_string() == str(o2)
+    assert s2.get_base(3) == o2.get_base(3)
+    assert [wk for wk, _ in s2.iter_kmers(7)] == \
+        [km.into_u64() for km in o2.iter_kmers(7)]
