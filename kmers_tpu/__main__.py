@@ -1,0 +1,147 @@
+"""Command-line interface: python -m kmers_tpu <command>.
+
+Commands:
+  count      FASTA/FASTQ -> canonical k-mer count table (npz), with
+             periodic checkpointing and resume.
+  query      look up k-mers (as ACGT strings) in a saved table.
+  stats      summarize a saved table.
+
+The reference is a library with no CLI; this is the operational wrapper a
+counting framework needs (SURVEY.md §5.3: restart tolerance via
+checkpoint-every + --resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _cmd_count(args) -> int:
+    from .io import fastx
+    from .parallel.stream import StreamingCounter
+
+    if args.resume and os.path.exists(args.output):
+        sc = StreamingCounter.load(args.output)
+        if sc.k != args.k:
+            print(f"error: checkpoint has k={sc.k}, requested k={args.k}",
+                  file=sys.stderr)
+            return 2
+        skip = sc.batches
+        print(f"resuming from {args.output}: {skip} batches, "
+              f"{sc.kmers} kmers", file=sys.stderr)
+    else:
+        sc = StreamingCounter(args.k, args.capacity)
+        skip = 0
+
+    t0 = time.time()
+    seen = 0
+    for rows in fastx.read_kmer_batches(args.input, k=args.k,
+                                        batch=args.batch, length=args.length):
+        seen += 1
+        if seen <= skip:
+            continue
+        sc.update(rows)
+        if args.checkpoint_every and sc.batches % args.checkpoint_every == 0:
+            sc.save(args.output)
+    sc.save(args.output)
+    dt = time.time() - t0
+    print(f"{sc.kmers} kmers ({int(sc.table.n_unique)} distinct) "
+          f"from {sc.batches} batches in {dt:.1f}s "
+          f"-> {args.output}", file=sys.stderr)
+    if sc.dropped_unique:
+        print(f"WARNING: capacity exceeded: {sc.dropped_unique} distinct "
+              f"kmers ({sc.dropped_kmers} occurrences) dropped; "
+              f"re-run with a larger --capacity", file=sys.stderr)
+        return 3
+    return 0
+
+
+def _cmd_query(args) -> int:
+    import numpy as np
+
+    from .core import u64 as u
+    from .oracle import numpy_ref as o
+    from .parallel.stream import StreamingCounter
+
+    sc = StreamingCounter.load(args.table)
+    words, bad = [], False
+    for q in args.kmers:
+        if len(q) != sc.k:
+            print(f"error: '{q}' has length {len(q)}, table k={sc.k}",
+                  file=sys.stderr)
+            bad = True
+            continue
+        try:
+            fw = o.word_from_bytes(q.upper().encode())
+        except ValueError:
+            print(f"error: '{q}' contains non-ACGT characters",
+                  file=sys.stderr)
+            bad = True
+            continue
+        words.append((q, min(fw, o.reverse_complement_word(fw, sc.k))))
+    if words:
+        qa = u.from_numpy(np.array([w for _, w in words], dtype=np.uint64))
+        counts = np.asarray(sc.lookup(qa))
+        for (q, _), c in zip(words, counts):
+            print(f"{q}\t{int(c)}")
+    return 2 if bad else 0
+
+
+def _cmd_stats(args) -> int:
+    import numpy as np
+
+    from .parallel.stream import StreamingCounter
+
+    sc = StreamingCounter.load(args.table)
+    nu = int(sc.table.n_unique)
+    counts = np.asarray(sc.table.counts)[:nu]
+    print(f"k:              {sc.k}")
+    print(f"distinct kmers: {nu} / capacity {sc.capacity}")
+    print(f"total kmers:    {sc.kmers}")
+    print(f"batches:        {sc.batches}")
+    print(f"dropped:        {sc.dropped_unique} distinct "
+          f"/ {sc.dropped_kmers} occurrences")
+    if nu:
+        print(f"count range:    [{counts.min()}, {counts.max()}], "
+              f"mean {counts.mean():.2f}")
+        print(f"singletons:     {(counts == 1).sum()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kmers_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("count", help="count canonical k-mers of a file")
+    c.add_argument("input", help="FASTA/FASTQ path")
+    c.add_argument("-k", type=int, required=True, help="k-mer length (<=32)")
+    c.add_argument("-o", "--output", required=True, help="output .npz table")
+    c.add_argument("--capacity", type=int, default=1 << 22,
+                   help="max distinct kmers (default 4M)")
+    c.add_argument("--batch", type=int, default=256)
+    c.add_argument("--length", type=int, default=256,
+                   help="row length; long records are halo-chunked")
+    c.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save every N batches (enables --resume)")
+    c.add_argument("--resume", action="store_true",
+                   help="resume from an existing output checkpoint")
+    c.set_defaults(fn=_cmd_count)
+
+    q = sub.add_parser("query", help="look up k-mers in a saved table")
+    q.add_argument("table", help=".npz table from `count`")
+    q.add_argument("kmers", nargs="+", help="k-mer strings (ACGT)")
+    q.set_defaults(fn=_cmd_query)
+
+    s = sub.add_parser("stats", help="summarize a saved table")
+    s.add_argument("table")
+    s.set_defaults(fn=_cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

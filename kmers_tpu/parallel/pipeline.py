@@ -291,3 +291,40 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=out_spec)
     return jax.jit(fn)
+
+
+# -- distributed lookup service (query serving over shard tables) --------------
+
+def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,
+                        axis: str = "d"):
+    """Build a jitted query step over per-shard count tables.
+
+    fn(tables, query_hi, query_lo, query_valid) -> counts int32, aligned
+    with the query lanes (-1 where the query was invalid or overflowed the
+    routing capacity).  tables: CountTable pytree with leading [D] dim
+    (as returned by make_sharded_counter), sharded over `axis`; queries
+    sharded over `axis` on dim 0.
+
+    The owning shard answers each query with a branch-free binary search of
+    its sorted key region; answers ride the inverse all_to_all home.
+    """
+    table_spec = CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                            n_unique=P(axis))
+
+    def body(tables, q_hi, q_lo, q_valid):
+        shard = CountTable(
+            keys=U64(tables.keys.hi[0], tables.keys.lo[0]),
+            counts=tables.counts[0], n_unique=tables.n_unique[0])
+        recv, recv_valid, reply, overflow = route_ops.route_queries(
+            U64(q_hi.reshape(-1), q_lo.reshape(-1)), q_valid.reshape(-1),
+            axis, query_capacity, seed)
+        answers = count_ops.lookup(shard, recv).reshape(recv_valid.shape)
+        answers = jnp.where(recv_valid, answers, -1)
+        counts = reply(answers)
+        return counts.reshape(q_hi.shape), jax.lax.psum(overflow, axis)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(table_spec, P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()))
+    return jax.jit(fn)

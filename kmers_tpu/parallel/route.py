@@ -163,3 +163,51 @@ def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
         valid=recv_valid.reshape(-1),
         overflow=overflow,
     )
+
+
+# -- round-trip query routing (distributed lookup) -----------------------------
+
+def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
+                  capacity: int, seed: int = 0):
+    """Route query words to owners, keeping the return path.
+
+    Returns (recv_words, recv_valid [D, C], reply(fn), overflow):
+    the owner computes a [D, C] int32 answer array aligned with recv and
+    calls reply(answers) -> answers delivered back and scattered to the
+    ORIGINAL lane positions of this sender's queries (absent/overflowed
+    lanes get -1).
+    """
+    d = jax.lax.axis_size(axis_name)
+    n = words.lo.size
+    flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
+    v = valid.reshape(-1)
+    owner = jnp.where(v, owner_of(flat, d, seed), d).astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    o, hi, lo, orig = jax.lax.sort((owner, flat.hi, flat.lo, pos),
+                                   num_keys=1, is_stable=True)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(o), jnp.clip(o, 0, d), num_segments=d + 1)[:d]
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    src = jnp.clip(starts[:, None] + j, 0, n - 1)          # [D, C]
+    in_bucket = j < jnp.minimum(counts, capacity)[:, None]
+    overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
+    a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    recv = U64(a2a(hi[src]), a2a(lo[src]))
+    recv_valid = a2a(in_bucket)
+    send_orig = orig[src]                                   # [D, C] sender-side
+
+    def reply(answers: jnp.ndarray) -> jnp.ndarray:
+        """answers [D, C] int32 on the owner -> [n] at the original sender
+        lane positions (-1 where unanswered)."""
+        back = a2a(answers)                                 # [D, C] at sender
+        out = jnp.full((n,), -1, dtype=jnp.int32)
+        flat_pos = jnp.where(in_bucket, send_orig, n)       # n = drop slot
+        out = jnp.zeros((n + 1,), jnp.int32).at[flat_pos.reshape(-1)].set(
+            back.reshape(-1), mode="drop")[:n]
+        answered = jnp.zeros((n + 1,), jnp.bool_).at[
+            flat_pos.reshape(-1)].set(True, mode="drop")[:n]
+        return jnp.where(answered, out, -1).reshape(words.lo.shape)
+
+    return recv, recv_valid, reply, overflow

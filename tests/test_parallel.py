@@ -229,3 +229,37 @@ def test_sharded_counter_matches_oracle():
             assert w not in got, "shards must be disjoint"
             got[w] += c
     assert sorted(got.items()) == _oracle_canonical_counts(reads, k)
+
+
+def test_sharded_lookup_service():
+    """Distributed query serving: counts come back to the original query
+    lanes; absent kmers 0; invalid query lanes -1."""
+    requires_8_devices()
+    k, L = 21, 64
+    reads = _make_reads(32, L, n_frac=0.0)
+    m = mesh_ops.make_mesh(8)
+    counter = pipeline.make_sharded_counter(m, k, route_capacity=256)
+    res = counter(reads_to_batch(reads, L))
+    want = dict(_oracle_canonical_counts(reads, k))
+    # queries: 8 per shard = 64 total; mix of present / absent / invalid
+    present = list(want.keys())
+    queries, qvalid, expect = [], [], []
+    for i in range(64):
+        if i % 4 == 3:
+            queries.append(RNG.getrandbits(64))  # random: almost surely absent
+            qvalid.append(True)
+            expect.append(want.get(queries[-1], 0))
+        elif i % 4 == 2:
+            queries.append(0)
+            qvalid.append(False)
+            expect.append(-1)
+        else:
+            queries.append(present[i % len(present)])
+            qvalid.append(True)
+            expect.append(want[queries[-1]])
+    qa = as_u64(queries)
+    lookup_fn = pipeline.make_sharded_lookup(m, query_capacity=64)
+    counts, overflow = lookup_fn(res.table, qa.hi, qa.lo,
+                                 jnp.asarray(np.array(qvalid)))
+    assert int(overflow) == 0
+    assert list(np.asarray(counts)) == expect

@@ -200,3 +200,28 @@ def test_sharded_counter_wide():
         for _, _, canon in _oracle_wide_windows(r, k):
             want[canon] += 1
     assert sorted(got.items()) == sorted(want.items())
+
+
+def test_minimizer_stream_wide_k():
+    """minimizer_stream is k-width-agnostic: works for k=63 (w-mers stay
+    <= 32 bases)."""
+    from kmers_tpu.ops import hash as hash_ops
+    from kmers_tpu.ops.minimizer import minimizer_stream
+
+    k, w, L = 63, 11, 100
+    seq = rand_seq(L)
+    mm = minimizer_stream(
+        jnp.asarray(np.frombuffer(seq, dtype=np.uint8))[None, :],
+        k, w, hash_ops.mix_hash_fn(3))
+    words = u.to_numpy(mm.word)[0]
+    poss = np.asarray(mm.pos)[0]
+    state = o.mix_hash_state(3)
+    for p in range(L - k + 1):
+        # oracle: brute-force leftmost argmin over the k-mer's w-mers
+        best, off = None, None
+        for q in range(p, p + k - w + 1):
+            wm = o.word_from_bytes(seq[q:q + w])
+            h = state.hash_word(wm)
+            if best is None or h < best[0]:
+                best, off = (h, wm), q
+        assert (int(words[p]), int(poss[p])) == (best[1], off), p
