@@ -193,7 +193,37 @@ def lanes_to_words(spec: GenericSpec, lanes: Lanes) -> np.ndarray:
 def words_to_lanes(spec: GenericSpec, words) -> Lanes:
     """Host [.., n_words] P-width ints -> Lanes."""
     arr = np.array(words, dtype=object)
+    if arr.shape[-1] != spec.n_words:
+        raise ValueError(
+            f"expected last dim {spec.n_words} words for k={spec.k} "
+            f"P=u{spec.width_bits}, got {arr.shape[-1]}")
     flat = arr.reshape(-1, spec.n_words)
     P = spec.width_bits
     vals = [sum(int(w) << (P * i) for i, w in enumerate(row)) for row in flat]
     return wi.from_python_ints(vals, spec.n_lanes)
+
+
+# -- trivial accessors (API parity with src/kmer.rs) ---------------------------
+
+def k_of(spec: GenericSpec) -> int:
+    """Kmer::k() (src/kmer.rs:36-38)."""
+    return spec.k
+
+
+def num_bytes(spec: GenericSpec) -> int:
+    """Kmer::num_bytes(): storage bytes of the word array
+    (src/kmer.rs:41-43)."""
+    return spec.total_bits // 8
+
+
+def default(spec: GenericSpec, shape=()) -> Lanes:
+    """Kmer::default(): zeroed storage (src/kmer.rs:55-64)."""
+    import jax.numpy as _jnp
+
+    return tuple(_jnp.zeros(shape, dtype=_jnp.uint32)
+                 for _ in range(spec.n_lanes))
+
+
+def with_data(spec: GenericSpec, words) -> Lanes:
+    """Kmer::with_data(array) (src/kmer.rs:31-33)."""
+    return words_to_lanes(spec, words)

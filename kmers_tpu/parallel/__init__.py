@@ -1,20 +1,32 @@
 """Distributed layer: mesh setup, hash-prefix routing, sharded counting.
 
 All new scope vs the reference (SURVEY.md §5.8) -- designed TPU-first:
-shard_map over a jax.sharding.Mesh, XLA collectives (all_to_all / psum)
-over ICI, fixed-capacity routing with overflow counters.
+shard_map over a jax.sharding.Mesh, XLA collectives (all_to_all / psum /
+ppermute) over ICI, fixed-capacity routing with overflow counters.
 """
 
-from . import count, mesh, pipeline, route
-from .count import CountTable, count_words, count_weighted, merge_tables, lookup
-from .mesh import make_mesh, batch_sharding, replicated
-from .pipeline import CountResult, count_reads, make_sharded_counter
-from .route import Routed, owner_of
+from . import count, halo, mesh, pipeline, route, stream
+from .count import (CountTable, CountTableWide, count_words,
+                    count_words_wide, count_weighted, merge_tables, lookup)
+from .mesh import (make_mesh, batch_sharding, replicated, init_distributed,
+                   local_read_slice, make_global_array)
+from .pipeline import (CountResult, count_reads, count_reads_wide,
+                       make_sharded_counter, make_sharded_counter_wide,
+                       make_sequence_parallel_counter,
+                       make_sharded_minimizer_counter, make_sharded_lookup)
+from .route import Routed, RoutedWide, owner_of, owner_of_wide
+from .stream import StreamingCounter, count_fastx
 
 __all__ = [
-    "count", "mesh", "pipeline", "route",
-    "CountTable", "count_words", "count_weighted", "merge_tables", "lookup",
-    "make_mesh", "batch_sharding", "replicated",
-    "CountResult", "count_reads", "make_sharded_counter",
-    "Routed", "owner_of",
+    "count", "halo", "mesh", "pipeline", "route", "stream",
+    "CountTable", "CountTableWide", "count_words", "count_words_wide",
+    "count_weighted", "merge_tables", "lookup",
+    "make_mesh", "batch_sharding", "replicated", "init_distributed",
+    "local_read_slice", "make_global_array",
+    "CountResult", "count_reads", "count_reads_wide",
+    "make_sharded_counter", "make_sharded_counter_wide",
+    "make_sequence_parallel_counter", "make_sharded_minimizer_counter",
+    "make_sharded_lookup",
+    "Routed", "RoutedWide", "owner_of", "owner_of_wide",
+    "StreamingCounter", "count_fastx",
 ]
