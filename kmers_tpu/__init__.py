@@ -24,8 +24,8 @@ from .core import u64, u128, wideint
 from .ops import encoding, generic, hash, kmer, minimizer, seqvector
 from .ops.generic import GenericSpec
 from .ops.kmer import kmer_windows, kmer_windows_wide, canonical_word
-from .ops.minimizer import minimizer_stream
-from .ops.seqvector import SeqVector
+from .ops.minimizer import MappedMinimizer, minimizer_stream
+from .ops.seqvector import SeqVecKmerIterator, SeqVecMinimizerIter, SeqVector
 
 __version__ = "0.1.0"
 
@@ -46,6 +46,9 @@ __all__ = [
     "kmer_windows_wide",
     "canonical_word",
     "minimizer_stream",
+    "MappedMinimizer",
     "SeqVector",
+    "SeqVecKmerIterator",
+    "SeqVecMinimizerIter",
     "__version__",
 ]

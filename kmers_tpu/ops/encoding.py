@@ -88,7 +88,7 @@ def perm_encode(ascii_u8: jnp.ndarray, disc: int) -> jnp.ndarray:
     return (u.u32(disc) >> shift) & u.u32(3)
 
 
-def _rev_disc(disc: int) -> int:
+def rev_encoding(disc: int) -> int:
     """Inverse permutation byte (encoding/naive.rs:29-39), computed on host."""
     rev = 0
     rev ^= 0b00 << (6 - ((disc >> 6) & 3) * 2)
@@ -96,6 +96,9 @@ def _rev_disc(disc: int) -> int:
     rev ^= 0b10 << (6 - ((disc >> 2) & 3) * 2)
     rev ^= 0b11 << (6 - (disc & 3) * 2)
     return rev
+
+
+_rev_disc = rev_encoding
 
 
 def perm_decode(codes: jnp.ndarray, disc: int) -> jnp.ndarray:

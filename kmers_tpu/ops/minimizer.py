@@ -25,6 +25,13 @@ from . import encoding
 from .kmer import _shift_left, window_valid, window_words
 
 
+class MappedMinimizer(NamedTuple):
+    """Scalar (word, pos) minimizer record (minimizers.rs:20-36)."""
+
+    word: int
+    pos: int
+
+
 class MappedMinimizers(NamedTuple):
     """Per-k-mer minimizers: the batch analog of
     Iterator<Item=MappedMinimizer> (minimizers.rs:20-36)."""

@@ -99,6 +99,13 @@ class SeqVector:
     def from_str(data: str) -> "SeqVector":
         return SeqVector.from_bytes(data.encode())
 
+    @staticmethod
+    def with_capacity(n_bases: int) -> "SeqVector":
+        """Empty vector sized for n_bases (seq_vector.rs:135-139); fill with
+        push_chars.  Device arrays are immutable, so capacity is a hint."""
+        del n_bases
+        return SeqVector.from_bytes(b"")
+
     def push_chars(self, data: bytes) -> None:
         """Append bases (seq_vector.rs:141-161).  Host-side repack of the
         boundary word; payload stays packed."""
@@ -243,3 +250,59 @@ def _sv_slice(self, start: int, end: int) -> "SeqVectorSlice":
 
 SeqVector.as_slice = _sv_as_slice
 SeqVector.slice = _sv_slice
+
+
+class SeqVecKmerIterator:
+    """Name-parity iterator over all k-mers (seq_vector.rs:260-300).
+
+    Yields (word, k) like ``SeqVector.iter_kmers`` -- one batched device
+    gather up front, then host iteration.
+    """
+
+    def __init__(self, sv: "SeqVector", k: int):
+        self.k = k
+        words, self.n = sv.all_kmers(k)
+        self._host = u.to_numpy(words)
+        self._i = 0
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self) -> "SeqVecKmerIterator":
+        return self
+
+    def __next__(self) -> Tuple[int, int]:
+        if self._i >= self.n:
+            raise StopIteration
+        out = (int(self._host[self._i]), self.k)
+        self._i += 1
+        return out
+
+
+class SeqVecMinimizerIter:
+    """Name-parity minimizer iterator (minimizers.rs:97-142): one
+    MappedMinimizer-equivalent (word, pos) per k-mer, deque-identical
+    output incl. the leftmost-tie rule, computed as one batched device op."""
+
+    def __init__(self, sv: "SeqVector", k: int, w: int, hash_fn):
+        word, pos = sv.minimizers(k, w, hash_fn)
+        self._words = u.to_numpy(word)
+        self._pos = np.asarray(pos)
+        self.n = len(sv) - k + 1
+        self._i = 0
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self) -> "SeqVecMinimizerIter":
+        return self
+
+    def __next__(self):
+        from .minimizer import MappedMinimizer
+
+        if self._i >= self.n:
+            raise StopIteration
+        out = MappedMinimizer(word=int(self._words[self._i]),
+                              pos=int(self._pos[self._i]))
+        self._i += 1
+        return out

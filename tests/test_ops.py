@@ -522,3 +522,35 @@ def test_seqvector_slice_parity():
     assert s2.get_base(3) == o2.get_base(3)
     assert [wk for wk, _ in s2.iter_kmers(7)] == \
         [km.into_u64() for km in o2.iter_kmers(7)]
+
+
+def test_seqvector_name_parity_iterators():
+    # SeqVecKmerIterator / SeqVecMinimizerIter / MappedMinimizer
+    # (seq_vector.rs:260-300, minimizers.rs:20-36,97-142)
+    seq = rand_seq(90)
+    sv = sv_ops.SeqVector.from_bytes(seq)
+    osv = o.SeqVector.from_bytes(seq)
+    k, w = 21, 7
+    it = sv_ops.SeqVecKmerIterator(sv, k)
+    assert len(it) == 90 - k + 1
+    assert list(it) == [(km.data, km.k) for km in osv.iter_kmers(k)]
+    mit = sv_ops.SeqVecMinimizerIter(sv, k, w, hash_ops.mix_hash_fn(9))
+    got = [(m.word, m.pos) for m in mit]
+    assert got == list(osv.iter_minimizers(k, w, o.mix_hash_state(9)))
+
+
+def test_seqvector_with_capacity():
+    sv = sv_ops.SeqVector.with_capacity(64)
+    assert sv.is_empty()
+    sv.push_chars(b"ACGTACGT")
+    assert sv.to_string() == "ACGTACGT"
+
+
+def test_rev_encoding_inverse():
+    # rev_encoding is the inverse permutation (encoding/naive.rs:29-39)
+    from kmers_tpu.ops.generic import NAIVE_PERMS
+    for disc in NAIVE_PERMS.values():
+        rev = encoding.rev_encoding(disc)
+        for internal in range(4):
+            code = (disc >> (6 - 2 * internal)) & 3
+            assert (rev >> (6 - 2 * code)) & 3 == internal
