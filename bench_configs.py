@@ -26,12 +26,15 @@ import numpy as np
 QUICK = "--quick" in sys.argv
 
 
-def bench(fn, inputs, items_per_call, calls=24, rounds=3):
+def bench(fn, inputs, items_per_call, rounds=3):
+    """Each timed call gets its OWN input buffer (cycling a small pool can
+    short-circuit in the runtime and report super-roofline rates)."""
+    calls = len(inputs)
     jax.block_until_ready(fn(inputs[0]))
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
-        outs = [fn(inputs[i % len(inputs)]) for i in range(calls)]
+        outs = [fn(inputs[i]) for i in range(calls)]
         jax.block_until_ready(outs)
         best = min(best, (time.perf_counter() - t0) / calls)
     return items_per_call / best
@@ -54,7 +57,7 @@ def main():
     from kmers_tpu.ops import kmer as kmer_ops
     from kmers_tpu.parallel import count_reads
 
-    nbuf = 2 if QUICK else 8
+    nbuf = 2 if QUICK else 16
 
     # config 1: k=15 encode+decode+hash, 10k x 150bp reads
     B1, L1 = (1024, 152) if QUICK else (10240, 152)
@@ -83,7 +86,7 @@ def main():
     from kmers_tpu.core import u128 as u128mod
     from kmers_tpu.kernels import window_wide as kww
 
-    B3, L3 = (256, 512) if QUICK else (1024, 1024)
+    B3, L3 = (256, 512) if QUICK else (2048, 1024)
     inp3 = make_inputs(nbuf, B3, L3, 3)
     got = jax.block_until_ready(kww.pack_canonical_hash_wide(inp3[0], 63))
     win = kmer_ops.kmer_windows_wide(inp3[0], 63)
@@ -96,6 +99,7 @@ def main():
         np.array_equal(np.asarray(got[6]).astype(bool),
                        np.asarray(win.valid)),
     ])
+    del got, win, canon, h  # free device memory before the timed loop
     rate = bench(lambda r: kww.pack_canonical_hash_wide(r, 63), inp3,
                  B3 * (L3 - 63 + 1))
     emit("k63_2xu64_window_canonical", rate, "kmers/s",
@@ -103,7 +107,7 @@ def main():
 
     # config 4: minimizers w=11 k=31 (single-chip kernel; 8-chip DP path
     # validated on CPU mesh in tests/test_halo.py)
-    B4, L4 = (256, 512) if QUICK else (1024, 1024)
+    B4, L4 = (256, 512) if QUICK else (2048, 1024)
     inp4 = make_inputs(nbuf, B4, L4, 4)
     rate = bench(lambda r: kmini.minimizer_kernel(r, 31, 11), inp4,
                  B4 * (L4 - 31 + 1))
@@ -113,7 +117,7 @@ def main():
     # config 5: full counting pipeline (windows+canonical+sort+count),
     # E. coli-scale stream = many such batches; multi-host all_to_all path
     # validated on CPU mesh (tests/test_parallel.py)
-    B5, L5 = (512, 256) if QUICK else (2048, 256)
+    B5, L5 = (512, 256) if QUICK else (4096, 256)
     inp5 = make_inputs(nbuf, B5, L5, 5)
     rate = bench(jax.jit(lambda r: count_reads(r, 31)), inp5,
                  B5 * (L5 - 31 + 1))

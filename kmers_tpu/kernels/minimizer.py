@@ -2,9 +2,14 @@
 
 The deque of the reference (seq_vector/minimizers.rs) is inherently
 sequential; this kernel computes the same output -- for every k-mer i the
-leftmost minimal-hash w-mer in [i, i+k-w] -- as a static unrolled scan
-carrying (hash, word, offset) tuples through k-w+1 rolled compares
-(leftmost-tie rule = strict-<; minimizers.rs:72-79).
+leftmost minimal-hash w-mer in [i, i+k-w] -- with the van Herk/Gil-Werman
+sliding-window minimum: block prefix/suffix minima built by log-doubling,
+so the window scan costs O(log W) rolled compares instead of O(W)
+(W = k-w+1).  The min key is the lexicographic tuple (hash_hi, hash_lo,
+position): position makes the minimum unique and enforces the reference's
+leftmost-tie rule (minimizers.rs:72-79) under any associative min order.
+For tiny windows (W <= 6) a direct unrolled scan is cheaper and used
+instead.
 
 Unlike the jnp path (ops.minimizer), the winning w-mer is carried through
 the scan instead of re-gathered, so the kernel does no gathers at all.
@@ -85,21 +90,73 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         h_hi = mix32(wm_hi ^ mix32(wm_lo ^ s_hi ^ jnp.uint32(0x9E3779B9)))
 
     # sliding leftmost argmin over offsets 0..k-w, carrying the word
-    best_h_hi, best_h_lo = h_hi, h_lo
-    best_w_hi, best_w_lo = wm_hi, wm_lo
-    best_off = jnp.zeros((BB, L), dtype=jnp.int32)
-    for off in range(1, k - w + 1):
-        ch_hi = _shift_left_roll(h_hi, off, iota)
-        ch_lo = _shift_left_roll(h_lo, off, iota)
-        cw_hi = _shift_left_roll(wm_hi, off, iota)
-        cw_lo = _shift_left_roll(wm_lo, off, iota)
-        take = (ch_hi < best_h_hi) | ((ch_hi == best_h_hi) &
-                                      (ch_lo < best_h_lo))
-        best_h_hi = jnp.where(take, ch_hi, best_h_hi)
-        best_h_lo = jnp.where(take, ch_lo, best_h_lo)
-        best_w_hi = jnp.where(take, cw_hi, best_w_hi)
-        best_w_lo = jnp.where(take, cw_lo, best_w_lo)
-        best_off = jnp.where(take, off, best_off)
+    W = k - w + 1
+    pos0 = iota  # absolute w-mer position; key component -> unique min
+    if W <= 6:
+        # direct unrolled scan: strict-< keeps the leftmost minimum
+        best_h_hi, best_h_lo = h_hi, h_lo
+        best_w_hi, best_w_lo = wm_hi, wm_lo
+        best_pos = pos0
+        for off in range(1, W):
+            ch_hi = _shift_left_roll(h_hi, off, iota)
+            ch_lo = _shift_left_roll(h_lo, off, iota)
+            cw_hi = _shift_left_roll(wm_hi, off, iota)
+            cw_lo = _shift_left_roll(wm_lo, off, iota)
+            take = (ch_hi < best_h_hi) | ((ch_hi == best_h_hi) &
+                                          (ch_lo < best_h_lo))
+            best_h_hi = jnp.where(take, ch_hi, best_h_hi)
+            best_h_lo = jnp.where(take, ch_lo, best_h_lo)
+            best_w_hi = jnp.where(take, cw_hi, best_w_hi)
+            best_w_lo = jnp.where(take, cw_lo, best_w_lo)
+            best_pos = jnp.where(take, pos0 + off, best_pos)
+    else:
+        # van Herk/Gil-Werman: blocks of W; window [p, p+W-1] = min of the
+        # suffix-min S[p] of p's block and the prefix-min R[p+W-1] of the
+        # next block.  Rolled-in lanes past the array edge are filled with
+        # +inf keys so they never win; out-of-block candidates are skipped.
+        MAXU = jnp.uint32(0xFFFFFFFF)
+        MAXI = jnp.int32(0x7FFFFFFF)
+        blk = iota % W
+
+        def shl(a, s, fill):
+            rolled = pltpu.roll(a, shift=L - s, axis=a.ndim - 1)
+            return jnp.where(iota < L - s, rolled, jnp.full_like(a, fill))
+
+        def shr(a, s, fill):
+            rolled = pltpu.roll(a, shift=s, axis=a.ndim - 1)
+            return jnp.where(iota >= s, rolled, jnp.full_like(a, fill))
+
+        def key_less(a, b):
+            return ((a[0] < b[0]) |
+                    ((a[0] == b[0]) &
+                     ((a[1] < b[1]) | ((a[1] == b[1]) & (a[2] < b[2])))))
+
+        def pick(take, cand, cur):
+            return tuple(jnp.where(take, c, x) for c, x in zip(cand, cur))
+
+        init = (h_hi, h_lo, pos0, wm_hi, wm_lo)
+        fills = (MAXU, MAXU, MAXI, jnp.uint32(0), jnp.uint32(0))
+
+        S = init  # S[p] = min over [p, block_end(p)]
+        ln = 1
+        while ln < W:
+            cand = tuple(shl(a, ln, f) for a, f in zip(S, fills))
+            take = (blk < W - ln) & key_less(cand, S)
+            S = pick(take, cand, S)
+            ln *= 2
+
+        R = init  # R[q] = min over [block_start(q), q]
+        ln = 1
+        while ln < W:
+            cand = tuple(shr(a, ln, f) for a, f in zip(R, fills))
+            take = (blk >= ln) & key_less(cand, R)
+            R = pick(take, cand, R)
+            ln *= 2
+
+        Rw = tuple(shl(a, W - 1, f) for a, f in zip(R, fills))
+        take = key_less(Rw, S)  # strict: unique min (pos in key)
+        best = pick(take, Rw, S)
+        best_h_hi, best_h_lo, best_pos, best_w_hi, best_w_lo = best
 
     # k-window validity
     v = valid
@@ -112,7 +169,7 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
 
     word_hi_ref[:] = best_w_hi
     word_lo_ref[:] = best_w_lo
-    pos_ref[:] = iota + best_off
+    pos_ref[:] = best_pos
     valid_ref[:] = v.astype(jnp.uint8)
 
 
