@@ -193,8 +193,9 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
     outi = jax.ShapeDtypeStruct((B, L), jnp.int32)
     out8 = jax.ShapeDtypeStruct((B, L), jnp.uint8)
-    # the unrolled k-w+1 argmin scan keeps ~2.5(k-w) u32 blocks live in
-    # VMEM; keep blocks small and raise the scoped-vmem cap accordingly
+    # the vHGW path keeps two 5-tuple carries (S/R: hash hi/lo, pos, word
+    # hi/lo) live across O(log W) roll passes -- ~10 u32 blocks of VMEM
+    # regardless of W; keep blocks small and the scoped-vmem cap raised
     return pl.pallas_call(
         functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
                           use_lex=use_lex),

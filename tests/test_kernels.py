@@ -57,8 +57,14 @@ from kmers_tpu.ops import minimizer as mini_ops
 
 
 @pytest.mark.parametrize("use_lex", [False, True])
-def test_minimizer_kernel_matches_jnp(use_lex):
-    k, w, B, L = 31, 11, 8, 256
+@pytest.mark.parametrize("k,w", [
+    (11, 11),   # W=1 (w == k edge)
+    (16, 11),   # W=6: largest direct-scan branch
+    (17, 11),   # W=7: smallest vHGW branch (boundary)
+    (31, 11),   # W=21: vHGW steady state
+])
+def test_minimizer_kernel_matches_jnp(use_lex, k, w):
+    B, L = 8, 256
     reads = make_reads(B, L)
     got = kmini.minimizer_kernel(reads, k, w, seed=5, use_lex=use_lex,
                                  block_rows=8, interpret=True)
