@@ -57,10 +57,11 @@ def count_reads(reads: jnp.ndarray, k: int) -> CountResult:
 
 
 def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
-                        seed: int, axis: str) -> CountResult:
+                        seed: int, axis: str, passes: int) -> CountResult:
     """shard_map body: local reads -> routed -> owned count table."""
     canon, valid = canonical_kmers(reads_local, k)
-    routed = route_ops.route(canon, valid, axis, capacity, seed)
+    routed = route_ops.route(canon, valid, axis, capacity, seed,
+                             passes=passes)
     table = count_ops.count_words(routed.words, routed.valid)
     n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
@@ -70,14 +71,20 @@ def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
         "windows_skipped": jax.lax.psum(
             jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
         "route_overflow": jax.lax.psum(routed.overflow, axis),
+        "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         "route_bytes": jax.lax.psum(
             jnp.int32(routed.words.lo.size * 9), axis),  # 8B word + 1B mask
     }
     return CountResult(table=table, metrics=metrics)
 
 
+_COUNTER_METRICS = ("reads", "kmers_emitted", "windows_skipped",
+                    "route_overflow", "route_rerouted", "route_bytes")
+
+
 def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
-                         seed: int = 0, axis: str = "d"):
+                         seed: int = 0, axis: str = "d",
+                         route_passes: int = 1):
     """Build a jitted sharded counting step over `mesh`.
 
     Returns fn(reads [B, L] sharded over axis on dim 0) -> CountResult where
@@ -86,16 +93,20 @@ def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
 
     Every shard's table holds only k-mers whose hash-prefix it owns, so the
     global table is the disjoint union of shard tables.
+
+    route_passes > 1 re-routes bucket overflow in extra all_to_all rounds
+    (exact results while every destination load <= passes * capacity); what
+    still overflows is reported in metrics, never silently dropped.
     """
     in_spec = P(axis)
     out_spec = CountResult(
         table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
                          n_unique=P(axis)),
-        metrics={m: P() for m in ("reads", "kmers_emitted", "windows_skipped",
-                                  "route_overflow", "route_bytes")},
+        metrics={m: P() for m in _COUNTER_METRICS},
     )
     body = functools.partial(_sharded_count_body, k=k,
-                             capacity=route_capacity, seed=seed, axis=axis)
+                             capacity=route_capacity, seed=seed, axis=axis,
+                             passes=route_passes)
 
     def wrapped(reads_local):
         res = body(reads_local)
@@ -109,24 +120,40 @@ def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
 
 
 def global_table(result: CountResult) -> CountTable:
-    """Flatten a sharded CountResult's per-shard tables into one host-side
-    view (shards are disjoint by construction)."""
+    """Merge a sharded CountResult's per-shard tables [D, cap] into one
+    globally key-sorted CountTable of capacity D*cap.  Shards are disjoint
+    by construction, so this is a re-sort, not a re-count (the per-key
+    counts are carried as weights and remain exact)."""
     t = result.table
-    return t
+    d, cap = t.counts.shape
+    idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = idx < t.n_unique[:, None]                         # [D, cap]
+    keys = U64(t.keys.hi.reshape(-1), t.keys.lo.reshape(-1))
+    return count_ops.count_weighted(keys, live.reshape(-1),
+                                    t.counts.reshape(-1))
 
 
 def lookup_sharded(tables: CountTable, queries: U64, n_shards: int,
                    seed: int = 0) -> jnp.ndarray:
-    """Host-convenience lookup across per-shard tables [D, cap]."""
-    owner = route_ops.owner_of(queries, n_shards, seed)
-    counts = []
-    for d in range(n_shards):
-        shard = CountTable(
-            keys=U64(tables.keys.hi[d], tables.keys.lo[d]),
-            counts=tables.counts[d], n_unique=tables.n_unique[d])
-        counts.append(count_ops.lookup(shard, queries))
-    stacked = jnp.stack(counts)                    # [D, Q]
-    return jnp.take_along_axis(stacked, owner[None, :], axis=0)[0]
+    """Host-convenience lookup across per-shard tables [D, cap]: one
+    branch-free binary search per query against its OWNER's key region
+    (row-indexed gathers), not a scan of every shard."""
+    owner = route_ops.owner_of(queries, n_shards, seed)      # [Q]
+    cap = tables.counts.shape[-1]
+    n_unique_q = tables.n_unique[owner]                      # [Q]
+    lo_idx = jnp.zeros(queries.lo.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(queries.lo.shape, cap, dtype=jnp.int32)
+    for _ in range(max(1, cap.bit_length())):
+        mid = (lo_idx + hi_idx) // 2
+        mid_c = jnp.clip(mid, 0, cap - 1)
+        mk = U64(tables.keys.hi[owner, mid_c], tables.keys.lo[owner, mid_c])
+        key_lt_query = (mid < n_unique_q) & u.lt(mk, queries)
+        lo_idx = jnp.where(key_lt_query, mid + 1, lo_idx)
+        hi_idx = jnp.where(key_lt_query, hi_idx, mid)
+    found = jnp.clip(lo_idx, 0, cap - 1)
+    fk = U64(tables.keys.hi[owner, found], tables.keys.lo[owner, found])
+    hit = (lo_idx < n_unique_q) & u.eq(fk, queries)
+    return jnp.where(hit, tables.counts[owner, found], 0)
 
 
 # -- multi-word (33 <= k <= 64) pipelines -------------------------------------
@@ -155,9 +182,10 @@ def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
 
 
 def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
-                             seed: int, axis: str) -> CountResult:
+                             seed: int, axis: str, passes: int) -> CountResult:
     canon, valid = canonical_kmers_wide(reads_local, k)
-    routed = route_ops.route_wide(canon, valid, axis, capacity, seed)
+    routed = route_ops.route_wide(canon, valid, axis, capacity, seed,
+                                  passes=passes)
     table = count_ops.count_words_wide(routed.words, routed.valid)
     n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
@@ -167,6 +195,7 @@ def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
         "windows_skipped": jax.lax.psum(
             jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
         "route_overflow": jax.lax.psum(routed.overflow, axis),
+        "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         "route_bytes": jax.lax.psum(
             jnp.int32(routed.words.lo.lo.size * 17), axis),
     }
@@ -174,7 +203,8 @@ def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
 
 
 def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
-                              seed: int = 0, axis: str = "d"):
+                              seed: int = 0, axis: str = "d",
+                              route_passes: int = 1):
     """Sharded counter for 33 <= k <= 64 (2xu64 keys)."""
     from .count import CountTableWide
 
@@ -182,11 +212,11 @@ def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
         table=CountTableWide(
             keys=U128(U64(P(axis), P(axis)), U64(P(axis), P(axis))),
             counts=P(axis), n_unique=P(axis)),
-        metrics={m: P() for m in ("reads", "kmers_emitted", "windows_skipped",
-                                  "route_overflow", "route_bytes")},
+        metrics={m: P() for m in _COUNTER_METRICS},
     )
     body = functools.partial(_sharded_count_body_wide, k=k,
-                             capacity=route_capacity, seed=seed, axis=axis)
+                             capacity=route_capacity, seed=seed, axis=axis,
+                             passes=route_passes)
 
     def wrapped(reads_local):
         res = body(reads_local)
@@ -206,7 +236,8 @@ from . import halo as halo_ops              # noqa: E402
 
 
 def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
-                                   seed: int = 0, axis: str = "d"):
+                                   seed: int = 0, axis: str = "d",
+                                   route_passes: int = 1):
     """Count k-mers of ONE long sequence sharded contiguously over `axis`.
 
     Input: [G] uint8 ASCII, G divisible by the axis size; each device holds
@@ -221,7 +252,8 @@ def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
                    counts=P(axis), n_unique=P(axis)) if wide else
                CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
                           n_unique=P(axis))),
-        metrics={m: P() for m in ("kmers_emitted", "route_overflow")},
+        metrics={m: P() for m in ("kmers_emitted", "route_overflow",
+                                  "route_rerouted")},
     )
 
     def body(seq_local):
@@ -230,18 +262,21 @@ def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
             win = halo_ops.sharded_windows_wide(seq_local, k, axis)
             canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
             routed = route_ops.route_wide(canon, win.valid, axis,
-                                          route_capacity, seed)
+                                          route_capacity, seed,
+                                          passes=route_passes)
             table = count_ops.count_words_wide(routed.words, routed.valid)
         else:
             win = halo_ops.sharded_windows(seq_local, k, axis)
             canon = kmer_ops.canonical_word(win.fw, win.rc)
             routed = route_ops.route(canon, win.valid, axis,
-                                     route_capacity, seed)
+                                     route_capacity, seed,
+                                     passes=route_passes)
             table = count_ops.count_words(routed.words, routed.valid)
         metrics = {
             "kmers_emitted": jax.lax.psum(
                 win.valid.sum().astype(jnp.int32), axis),
             "route_overflow": jax.lax.psum(routed.overflow, axis),
+            "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         }
         return CountResult(table=jax.tree.map(lambda x: x[None], table),
                            metrics=metrics)
@@ -254,7 +289,8 @@ def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
 
 def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
                                    route_capacity: int, seed: int = 0,
-                                   use_lex: bool = False, axis: str = "d"):
+                                   use_lex: bool = False, axis: str = "d",
+                                   route_passes: int = 1):
     """Data-parallel minimizer selection + hashed bucketing over the mesh.
 
     reads [B, L] sharded over `axis` -> per-k-mer minimizers (leftmost-tie,
@@ -264,14 +300,15 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
 
     Capacity note: unlike raw k-mer routing, minimizer words are heavily
     repeated (one minimizer covers up to k-w+1 consecutive windows), so
-    per-destination load is skewed -- size `route_capacity` toward the
-    worst case (all of a sender's lanes on one destination) or surface the
-    `route_overflow` metric and re-route the remainder.
+    per-destination load is skewed -- set `route_passes` > 1 so overflow is
+    re-routed in extra all_to_all rounds (exact while destination load
+    <= passes * capacity; the rest is counted in `route_overflow`).
     """
     out_spec = CountResult(
         table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
                          n_unique=P(axis)),
-        metrics={m: P() for m in ("kmers_emitted", "route_overflow")},
+        metrics={m: P() for m in ("kmers_emitted", "route_overflow",
+                                  "route_rerouted")},
     )
     hash_fn = (hash_ops.lex_hash_fn(w) if use_lex
                else hash_ops.mix_hash_fn(seed))
@@ -279,12 +316,13 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
     def body(reads_local):
         mm = mini_ops.minimizer_stream(reads_local, k, w, hash_fn)
         routed = route_ops.route(mm.word, mm.valid, axis, route_capacity,
-                                 seed)
+                                 seed, passes=route_passes)
         table = count_ops.count_words(routed.words, routed.valid)
         metrics = {
             "kmers_emitted": jax.lax.psum(
                 mm.valid.sum().astype(jnp.int32), axis),
             "route_overflow": jax.lax.psum(routed.overflow, axis),
+            "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         }
         return CountResult(table=jax.tree.map(lambda x: x[None], table),
                            metrics=metrics)

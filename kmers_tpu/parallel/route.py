@@ -15,9 +15,16 @@ Ragged all_to_all is not expressible in XLA, so routing uses
   5. ``jax.lax.all_to_all`` over "d" -> [D, capacity] received lanes, all
      owned by this shard.
 
+Overflow re-routing (SURVEY.md §7 "count overflow and re-route in a second
+pass"): with ``passes=P``, pass p ships bucket lanes [p*C, (p+1)*C) --
+the sort is done once, only the all_to_all repeats -- so results are EXACT
+whenever every per-destination bucket holds <= P*C lanes.  Lanes beyond
+P*C are dropped AND counted in ``overflow``; lanes delivered by passes
+>= 2 are counted in ``rerouted``.
+
 All steps are sort/gather/compare lane ops -- no scatter, no dynamic
 shapes.  Overflow counters come back with the result; callers must surface
-them (metrics counter ``route_overflow``).
+them (metrics counters ``route_overflow`` / ``route_rerouted``).
 """
 
 from __future__ import annotations
@@ -34,9 +41,11 @@ from ..core.u64 import U64
 class Routed(NamedTuple):
     """Result of routing: lanes now living on their owning shard."""
 
-    words: U64            # [D * capacity] received k-mer words
-    valid: jnp.ndarray    # [D * capacity] bool
+    words: U64            # [passes * D * capacity] received k-mer words
+    valid: jnp.ndarray    # [passes * D * capacity] bool
     overflow: jnp.ndarray  # int32 scalar: lanes dropped on *this* sender
+    rerouted: jnp.ndarray  # int32 scalar: lanes this sender shipped in
+    #                        passes >= 2 (0 when passes == 1)
 
 
 def owner_of(words: U64, n_shards: int, seed: int = 0) -> jnp.ndarray:
@@ -78,40 +87,60 @@ def bucket_sort(words: U64, valid: jnp.ndarray, n_shards: int,
 
 
 def build_send_buffer(words: U64, valid: jnp.ndarray, n_shards: int,
-                      capacity: int, seed: int = 0):
-    """[D, capacity] send buffer + per-destination valid mask + overflow."""
+                      capacity: int, seed: int = 0, offset: int = 0):
+    """[D, capacity] send buffer (bucket lanes [offset, offset+capacity))
+    + per-destination valid mask + overflow beyond offset+capacity."""
     sw, sv, so, counts = bucket_sort(words, valid, n_shards, seed)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
     n = sw.lo.shape[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
-    src = starts[:, None] + j                                  # [D, C]
-    in_bucket = j < jnp.minimum(counts, capacity)[:, None]     # [D, C]
+    src = starts[:, None] + offset + j                         # [D, C]
+    in_bucket = j < jnp.clip(counts - offset, 0, capacity)[:, None]
     src_c = jnp.clip(src, 0, n - 1)
     send = U64(sw.hi[src_c], sw.lo[src_c])
-    overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
+    overflow = jnp.maximum(counts - offset - capacity,
+                           0).sum().astype(jnp.int32)
     return send, in_bucket, overflow
 
 
 def route(words: U64, valid: jnp.ndarray, axis_name: str,
-          capacity: int, seed: int = 0) -> Routed:
+          capacity: int, seed: int = 0, passes: int = 1) -> Routed:
     """Inside shard_map: route local k-mers to their owning shard.
 
     words/valid: local lanes (any shape; flattened).
-    capacity: per-destination lane budget on each sender.  Received size is
-    D * capacity.
+    capacity: per-destination lane budget on each sender, per pass.
+    passes: overflow re-route rounds; pass p ships bucket lanes
+    [p*C, (p+1)*C) (sorted once, all_to_all repeated).  Received size is
+    passes * D * capacity; results are exact while every per-destination
+    bucket holds <= passes*capacity lanes.
     """
     d = jax.lax.axis_size(axis_name)
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
-    send, send_valid, overflow = build_send_buffer(
-        flat, valid.reshape(-1), d, capacity, seed)
-    recv_hi = jax.lax.all_to_all(send.hi, axis_name, 0, 0, tiled=True)
-    recv_lo = jax.lax.all_to_all(send.lo, axis_name, 0, 0, tiled=True)
-    recv_valid = jax.lax.all_to_all(send_valid, axis_name, 0, 0, tiled=True)
+    sw, sv, _so, counts = bucket_sort(flat, valid.reshape(-1), d, seed)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    n = sw.lo.shape[-1]
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
+    a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    recv_hi, recv_lo, recv_valid = [], [], []
+    for p in range(passes):
+        off = p * capacity
+        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)    # [D, C]
+        in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
+        recv_hi.append(a2a(sw.hi[src]))
+        recv_lo.append(a2a(sw.lo[src]))
+        recv_valid.append(a2a(in_bucket))
+    overflow = jnp.maximum(counts - passes * capacity,
+                           0).sum().astype(jnp.int32)
+    rerouted = jnp.clip(counts - capacity, 0,
+                        (passes - 1) * capacity).sum().astype(jnp.int32)
     return Routed(
-        words=U64(recv_hi.reshape(-1), recv_lo.reshape(-1)),
-        valid=recv_valid.reshape(-1),
+        words=U64(jnp.concatenate([r.reshape(-1) for r in recv_hi]),
+                  jnp.concatenate([r.reshape(-1) for r in recv_lo])),
+        valid=jnp.concatenate([r.reshape(-1) for r in recv_valid]),
         overflow=overflow,
+        rerouted=rerouted,
     )
 
 
@@ -125,6 +154,7 @@ class RoutedWide(NamedTuple):
     words: U128
     valid: jnp.ndarray
     overflow: jnp.ndarray
+    rerouted: jnp.ndarray
 
 
 def owner_of_wide(words: U128, n_shards: int, seed: int = 0) -> jnp.ndarray:
@@ -133,9 +163,9 @@ def owner_of_wide(words: U128, n_shards: int, seed: int = 0) -> jnp.ndarray:
 
 
 def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
-               capacity: int, seed: int = 0) -> RoutedWide:
+               capacity: int, seed: int = 0, passes: int = 1) -> RoutedWide:
     """Route 128-bit k-mer words to their owning shard (same fixed-capacity
-    design as `route`, with a 4-lane payload)."""
+    + multi-pass re-route design as `route`, with a 4-lane payload)."""
     d = jax.lax.axis_size(axis_name)
     flat = U128(
         U64(words.hi.hi.reshape(-1), words.hi.lo.reshape(-1)),
@@ -151,17 +181,27 @@ def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
     n = ll.shape[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    src = jnp.clip(starts[:, None] + j, 0, n - 1)
-    in_bucket = j < jnp.minimum(counts, capacity)[:, None]
-    overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
-    recv = [a2a(arr[src]) for arr in (hh, hl, lh, ll)]
-    recv_valid = a2a(in_bucket)
+    recv = [[] for _ in range(4)]
+    recv_valid = []
+    for p in range(passes):
+        off = p * capacity
+        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)
+        in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
+        for i, arr in enumerate((hh, hl, lh, ll)):
+            recv[i].append(a2a(arr[src]))
+        recv_valid.append(a2a(in_bucket))
+    overflow = jnp.maximum(counts - passes * capacity,
+                           0).sum().astype(jnp.int32)
+    rerouted = jnp.clip(counts - capacity, 0,
+                        (passes - 1) * capacity).sum().astype(jnp.int32)
+    cat = lambda parts: jnp.concatenate([r.reshape(-1) for r in parts])
     return RoutedWide(
-        words=U128(U64(recv[0].reshape(-1), recv[1].reshape(-1)),
-                   U64(recv[2].reshape(-1), recv[3].reshape(-1))),
-        valid=recv_valid.reshape(-1),
+        words=U128(U64(cat(recv[0]), cat(recv[1])),
+                   U64(cat(recv[2]), cat(recv[3]))),
+        valid=cat(recv_valid),
         overflow=overflow,
+        rerouted=rerouted,
     )
 
 
@@ -202,7 +242,6 @@ def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
         """answers [D, C] int32 on the owner -> [n] at the original sender
         lane positions (-1 where unanswered)."""
         back = a2a(answers)                                 # [D, C] at sender
-        out = jnp.full((n,), -1, dtype=jnp.int32)
         flat_pos = jnp.where(in_bucket, send_orig, n)       # n = drop slot
         out = jnp.zeros((n + 1,), jnp.int32).at[flat_pos.reshape(-1)].set(
             back.reshape(-1), mode="drop")[:n]

@@ -263,3 +263,144 @@ def test_sharded_lookup_service():
                                  jnp.asarray(np.array(qvalid)))
     assert int(overflow) == 0
     assert list(np.asarray(counts)) == expect
+
+
+def test_route_reroute_exact_under_overflow():
+    """Multi-pass routing (SURVEY §7 'count overflow and re-route in a
+    second pass'): a skewed load that overflows capacity in one pass is
+    delivered exactly with passes=4, and the overflow/rerouted counters
+    reflect it."""
+    requires_8_devices()
+    m = mesh_ops.make_mesh(8)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # every sender has 64 lanes from a pool of 3 words -> at most 3
+    # destinations, heavily loaded; cap=8 overflows, 4*8=32 may still
+    # overflow per-word (64/3 ~ 21 lanes/word), so use cap=8, passes=4
+    # with pool spread such that per-dest load <= 32.
+    pool = [RNG.getrandbits(64) for _ in range(3)]
+    ws = [pool[i % 3] for i in range(8 * 64)]
+    valid = np.ones(len(ws), dtype=bool)
+    cap = 8
+
+    def body(hi, lo, v, passes):
+        routed = route_ops.route(U64(hi, lo), v, "d", cap, passes=passes)
+        return routed.words.hi[None], routed.words.lo[None], \
+            routed.valid[None], routed.overflow[None], routed.rerouted[None]
+
+    def run(passes):
+        fn = jax.jit(shard_map(
+            lambda hi, lo, v: body(hi, lo, v, passes), mesh=m,
+            in_specs=(P("d"), P("d"), P("d")),
+            out_specs=(P("d"),) * 5))
+        wa = as_u64(ws)
+        return fn(wa.hi, wa.lo, jnp.asarray(valid))
+
+    # single pass: overflow, delivered multiset is short
+    _, _, rv1, ovf1, rr1 = run(1)
+    assert int(np.asarray(ovf1).sum()) > 0
+    assert int(np.asarray(rr1).sum()) == 0
+
+    # 4 passes: exact delivery (each sender: <= 22 lanes per word <= 4*8)
+    rhi, rlo, rv, ovf, rr = run(4)
+    assert int(np.asarray(ovf).sum()) == 0
+    assert int(np.asarray(rr).sum()) > 0
+    got = collections.Counter()
+    for d in range(8):
+        wv = u.to_numpy(U64(rhi[d].reshape(-1), rlo[d].reshape(-1)))
+        mask = np.asarray(rv[d]).reshape(-1)
+        got.update(int(x) for x in wv[mask])
+    assert got == collections.Counter(ws)
+
+
+def test_sharded_counter_reroute_matches_oracle():
+    """End-to-end: a capacity that overflows at passes=1 gives exact,
+    oracle-equal shard tables at route_passes=3."""
+    requires_8_devices()
+    k, L = 21, 64
+    # skew: all reads identical -> every sender's k-mers hit the same
+    # small owner set
+    reads = [_make_reads(1, L, n_frac=0.0)[0]] * 32
+    m = mesh_ops.make_mesh(8)
+    batch = reads_to_batch(reads, L)
+
+    res1 = pipeline.make_sharded_counter(m, k, route_capacity=16)(batch)
+    assert int(res1.metrics["route_overflow"]) > 0  # forced overflow
+
+    res3 = pipeline.make_sharded_counter(
+        m, k, route_capacity=16, route_passes=12)(batch)
+    assert int(res3.metrics["route_overflow"]) == 0
+    assert int(res3.metrics["route_rerouted"]) > 0
+    got = collections.Counter()
+    t = res3.table
+    for d in range(8):
+        shard = count_ops.CountTable(
+            keys=U64(t.keys.hi[d], t.keys.lo[d]),
+            counts=t.counts[d], n_unique=t.n_unique[d])
+        for w, c in table_to_pairs(shard):
+            assert w not in got, "shards must be disjoint"
+            got[w] += c
+    assert sorted(got.items()) == _oracle_canonical_counts(reads, k)
+
+
+def test_sharded_minimizer_counter_reroute():
+    """The skewed minimizer load from pipeline.py's capacity note: identical
+    reads concentrate minimizer words; re-routing makes the tables exact
+    (equal to the unrouted single-device minimizer multiset)."""
+    requires_8_devices()
+    from kmers_tpu.ops import hash as hash_ops
+    from kmers_tpu.ops import minimizer as mini_ops
+
+    k, w, L = 21, 7, 64
+    reads = [_make_reads(1, L, n_frac=0.0)[0]] * 16
+    m = mesh_ops.make_mesh(8)
+    batch = reads_to_batch(reads, L)
+
+    res1 = pipeline.make_sharded_minimizer_counter(
+        m, k, w, route_capacity=8)(batch)
+    assert int(res1.metrics["route_overflow"]) > 0
+
+    res = pipeline.make_sharded_minimizer_counter(
+        m, k, w, route_capacity=8, route_passes=16)(batch)
+    assert int(res.metrics["route_overflow"]) == 0
+    # expected multiset: jnp minimizer stream (deque-equivalent, tested
+    # against the oracle elsewhere), counted globally
+    mm = mini_ops.minimizer_stream(batch, k, w, hash_ops.mix_hash_fn(0))
+    words = u.to_numpy(mm.word).reshape(-1)
+    valid = np.asarray(mm.valid).reshape(-1)
+    want = collections.Counter(int(x) for x in words[valid])
+    got = collections.Counter()
+    t = res.table
+    for d in range(8):
+        shard = count_ops.CountTable(
+            keys=U64(t.keys.hi[d], t.keys.lo[d]),
+            counts=t.counts[d], n_unique=t.n_unique[d])
+        for wd, c in table_to_pairs(shard):
+            got[wd] += c
+    assert got == want
+
+
+def test_global_table_merges_shards():
+    requires_8_devices()
+    k, L = 21, 64
+    reads = _make_reads(32, L)
+    m = mesh_ops.make_mesh(8)
+    res = pipeline.make_sharded_counter(m, k, route_capacity=256)(
+        reads_to_batch(reads, L))
+    merged = jax.jit(pipeline.global_table)(res)
+    assert table_to_pairs(merged) == _oracle_canonical_counts(reads, k)
+
+
+def test_lookup_sharded_owner_indexed():
+    requires_8_devices()
+    k, L = 21, 64
+    reads = _make_reads(32, L, n_frac=0.0)
+    m = mesh_ops.make_mesh(8)
+    res = pipeline.make_sharded_counter(m, k, route_capacity=256)(
+        reads_to_batch(reads, L))
+    want = dict(_oracle_canonical_counts(reads, k))
+    queries = list(want.keys())[:20] + [RNG.getrandbits(64) for _ in range(12)]
+    got = jax.jit(lambda t, q: pipeline.lookup_sharded(t, q, 8))(
+        res.table, as_u64(queries))
+    assert list(np.asarray(got)) == [want.get(q, 0) for q in queries]
