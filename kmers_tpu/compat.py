@@ -29,6 +29,7 @@ from .oracle.numpy_ref import (
     complement_base,
     encode_binary,
     encode_binary_u8,
+    hash_one,
     is_valid_nuc,
     lex_hash,
     lex_hash_state,
@@ -45,7 +46,7 @@ __all__ = [
     "MASK64", "MASK_TABLE", "CanonicalKmer", "CanonicalKmerIterator",
     "HashState", "Kmer", "MatchType", "Orientation", "SeqVector",
     "SeqVectorSlice", "complement_base", "encode_binary", "encode_binary_u8",
-    "is_valid_nuc", "lex_hash", "lex_hash_state", "mix_hash",
+    "hash_one", "is_valid_nuc", "lex_hash", "lex_hash_state", "mix_hash",
     "mix_hash_state", "minimizer_word", "reverse_complement_word",
     "sub_kmer_word", "word_from_bytes", "word_to_string",
 ]

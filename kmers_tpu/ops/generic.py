@@ -26,22 +26,9 @@ from ..core.wideint import Lanes
 from . import encoding as enc
 
 #: discriminant bytes of the 24 Naive permutations (encoding/naive.rs:49-74)
-NAIVE_PERMS = {
-    "ACTG": 0b00_01_10_11, "ACGT": 0b00_01_11_10, "ATCG": 0b00_10_01_11,
-    "ATGC": 0b00_11_01_10, "AGCT": 0b00_10_11_01, "AGTC": 0b00_11_10_01,
-    "CATG": 0b01_00_10_11, "CAGT": 0b01_00_11_10, "CTAG": 0b10_00_01_11,
-    "CTGA": 0b11_00_01_10, "CGAT": 0b10_00_11_01, "CGTA": 0b11_00_10_01,
-    "TACG": 0b01_10_00_11, "TAGC": 0b01_11_00_10, "TCAG": 0b10_01_00_11,
-    "TCGA": 0b11_01_00_10, "TGAC": 0b10_11_00_01, "TGCA": 0b11_10_00_01,
-    "GACT": 0b01_10_11_00, "GATC": 0b01_11_10_00, "GCAT": 0b10_01_11_00,
-    "GCTA": 0b11_01_10_00, "GTAC": 0b10_11_01_00, "GTCA": 0b11_10_01_00,
-}
-
-
-def word_for_k(width_bits: int, k: int) -> int:
-    """ceil(k / (bits/2)) (src/kmer.rs:67-69)."""
-    per = width_bits // 2
-    return (per + k - 1) // per
+#: and word_for_k (src/kmer.rs:67-69) -- single source of truth is the
+#: oracle spec model (constants ARE the reference semantics)
+from ..oracle.numpy_ref import NAIVE_PERMS, word_for_k  # noqa: E402,F401
 
 
 @dataclasses.dataclass(frozen=True)

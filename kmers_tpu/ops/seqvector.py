@@ -107,10 +107,29 @@ class SeqVector:
         return SeqVector.from_bytes(b"")
 
     def push_chars(self, data: bytes) -> None:
-        """Append bases (seq_vector.rs:141-161).  Host-side repack of the
-        boundary word; payload stays packed."""
-        new = SeqVector.from_bytes(self.to_string().encode() + data)
-        self.words, self.n_bases = new.words, new.n_bases
+        """Append bases (seq_vector.rs:141-161): pack only the NEW bases and
+        OR them in at the bit boundary (word-level funnel shift).  O(existing
+        words + new bases) -- never decodes or re-packs the existing payload.
+        """
+        if not data:
+            return
+        n = self.n_bases
+        host = np.asarray(self.words, dtype=np.uint32)
+        used = (n + 15) // 16                 # words holding current bases
+        nw = pack_ascii_to_words(np.frombuffer(data, dtype=np.uint8))
+        total = n + len(data)
+        out = np.zeros((total + 15) // 16 + 2, dtype=np.uint32)
+        out[:used] = host[:used]
+        r = 2 * (n % 16)
+        if r == 0:
+            out[used:used + len(nw)] = nw
+        else:
+            ext = np.zeros(len(nw) + 1, dtype=np.uint32)
+            ext[:-1] |= nw << np.uint32(r)
+            ext[1:] |= nw >> np.uint32(32 - r)
+            out[used - 1:used - 1 + len(ext)] |= ext
+        self.words = jnp.asarray(out)
+        self.n_bases = total
 
     # -- accessors ------------------------------------------------------------
 
@@ -190,6 +209,70 @@ class SeqVector:
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         return SeqVector(jnp.asarray(z["words"].astype(np.uint32)),
                          int(z["n_bases"]))
+
+    # -- simple_sds interop (the reference's serialized format) ----------------
+    #
+    # The reference's SeqVector wraps simple_sds::RawVector
+    # (seq_vector.rs:18-22) and builds from RawVector/IntVector with layout
+    # asserts (seq_vector.rs:244-258).  simple-sds serializes RawVector as:
+    #   u64 LE: length in BITS
+    #   u64 LE: number of u64 data words
+    #   that many u64 LE words, bits LSB-first
+    # and IntVector as: u64 LE element count, u64 LE width, then the
+    # RawVector body.  Our uint32 word pairs (lo, hi) concatenate to exactly
+    # those u64 words, so the round-trip is bit-exact.
+
+    def to_simple_sds(self) -> bytes:
+        """Serialize as a simple_sds RawVector byte stream."""
+        n_bits = 2 * self.n_bases
+        n64 = (n_bits + 63) // 64
+        w32 = np.zeros(2 * n64, dtype=np.uint32)
+        host = np.asarray(self.words, dtype=np.uint32)
+        w32[:min(len(host), 2 * n64)] = host[:2 * n64]
+        data64 = (w32[0::2].astype(np.uint64)
+                  | (w32[1::2].astype(np.uint64) << np.uint64(32)))
+        head = np.array([n_bits, n64], dtype="<u8")
+        return head.tobytes() + data64.astype("<u8").tobytes()
+
+    def save_simple_sds(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.to_simple_sds())
+
+    @staticmethod
+    def from_simple_sds(data: bytes) -> "SeqVector":
+        """Deserialize a simple_sds RawVector (From<RawVector> parity:
+        asserts even bit length, seq_vector.rs:244-249)."""
+        n_bits, n64 = np.frombuffer(data[:16], dtype="<u8")
+        n_bits, n64 = int(n_bits), int(n64)
+        if n_bits % 2 != 0:
+            raise ValueError("RawVector bit length must be even "
+                             "(seq_vector.rs:245)")
+        if n64 != (n_bits + 63) // 64:
+            raise ValueError("corrupt RawVector: word count mismatch")
+        d64 = np.frombuffer(data[16:16 + 8 * n64], dtype="<u8")
+        if len(d64) != n64:
+            raise ValueError("truncated RawVector data")
+        w32 = np.zeros(2 * n64 + 2, dtype=np.uint32)   # +2 spare funnel words
+        w32[0:2 * n64:2] = (d64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        w32[1:2 * n64:2] = (d64 >> np.uint64(32)).astype(np.uint32)
+        return SeqVector(jnp.asarray(w32), n_bits // 2)
+
+    @staticmethod
+    def load_simple_sds(path: str) -> "SeqVector":
+        with open(path, "rb") as f:
+            return SeqVector.from_simple_sds(f.read())
+
+    @staticmethod
+    def from_simple_sds_int_vector(data: bytes) -> "SeqVector":
+        """Deserialize a simple_sds IntVector (From<IntVector> parity:
+        asserts width == 2, seq_vector.rs:251-258)."""
+        n_elems, width = np.frombuffer(data[:16], dtype="<u8")
+        if int(width) != 2:
+            raise ValueError("IntVector width must be 2 (seq_vector.rs:252)")
+        sv = SeqVector.from_simple_sds(data[16:])
+        if sv.n_bases != int(n_elems):
+            raise ValueError("corrupt IntVector: element count mismatch")
+        return sv
 
 
 class SeqVectorSlice:

@@ -161,6 +161,15 @@ def lex_hash_state(k: int) -> HashState:
     return HashState(lambda w: lex_hash(w, k))
 
 
+def hash_one(state: HashState, kmer) -> int:
+    """hash_one(state, x): build a hasher, hash x, finish (hash.rs:10-20).
+    Accepts a Kmer (hashes only its data word, k excluded; hash.rs:4-8) or
+    a raw u64 word -- the reference asserts both are equal
+    (naive_impl/kmer.rs:545-558)."""
+    word = kmer.data if hasattr(kmer, "data") else int(kmer)
+    return state.hash_word(word)
+
+
 def mix_hash_state(seed: int = 0) -> HashState:
     return HashState(lambda w: mix_hash(w, seed))
 
@@ -453,6 +462,25 @@ class SeqVector:
             sv.words.append(word_from_bytes(chunk))
         sv.bit_len = len(data) * 2
         return sv
+
+    def to_simple_sds(self) -> bytes:
+        """simple_sds RawVector serialization: u64 LE bit length, u64 LE
+        word count, u64 LE words (the reference's serde-compat on-disk
+        layout; seq_vector.rs:18-22)."""
+        n64 = (self.bit_len + 63) // 64
+        words = (self.words + [0] * n64)[:n64]
+        out = self.bit_len.to_bytes(8, "little") + n64.to_bytes(8, "little")
+        return out + b"".join((w & MASK64).to_bytes(8, "little")
+                              for w in words)
+
+    @staticmethod
+    def from_simple_sds(data: bytes) -> "SeqVector":
+        bit_len = int.from_bytes(data[:8], "little")
+        n64 = int.from_bytes(data[8:16], "little")
+        assert bit_len % 2 == 0  # From<RawVector>, seq_vector.rs:245
+        words = [int.from_bytes(data[16 + 8 * i:24 + 8 * i], "little")
+                 for i in range(n64)]
+        return SeqVector(words, bit_len)
 
     def push_chars(self, data: bytes) -> None:
         """Pushes len%32 head partial word then 32-base chunks

@@ -8,10 +8,17 @@ Real datasets do not fit one device call; this module folds a stream of
               then compact back to the fixed capacity.
 
 Keys are kept sorted, so the merge is one sort of (capacity + batch) lanes
--- no scatter, no host round-trip of the table.  If the merged table
-exceeds capacity, the LARGEST keys are dropped and counted in
+-- no scatter, no host round-trip of the table.
+
+Eviction policy (explicit, tested): if the merged table exceeds capacity,
+the LOWEST-COUNT entries are evicted first (the table keeps the heavy
+hitters); among equal counts the numerically largest keys are evicted
+first, so eviction is deterministic.  Evicted mass is counted in
 ``dropped_unique`` / ``dropped_kmers`` ("no silent caps", SURVEY.md §7);
-size capacity above the expected distinct-k-mer count.
+size capacity above the expected distinct-k-mer count to avoid evicting
+at all.  Note the count-based policy is still an approximation under
+adversarial arrival order (a key evicted early loses its prior count if
+it reappears); the drop counters bound the error.
 
 Checkpoint/resume (SURVEY.md §5.4): ``save`` / ``load`` persist the table
 in an endian-stable npz layout (little-endian u32 words of the 2-bit
@@ -41,13 +48,31 @@ def _merge_bounded(table: CountTable, batch_table: CountTable,
     merged = count_ops.merge_tables(table, batch_table)
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
     live = idx < merged.n_unique
-    kept = idx < jnp.minimum(merged.n_unique, capacity)
+    # rank by (dead last, count desc, key asc): the first `capacity` lanes
+    # are the keepers -- lowest-count entries are evicted first, ties evict
+    # the largest keys (see module docstring)
+    maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
+    dead = (~live).astype(jnp.uint32)
+    inv_count = jnp.where(live, maxi - merged.counts, maxi)
+    _, _, r_hi, r_lo, r_cnt = jax.lax.sort(
+        (dead, inv_count, merged.keys.hi, merged.keys.lo, merged.counts),
+        num_keys=4, is_stable=True)
     dropped_unique = jnp.maximum(merged.n_unique - capacity, 0)
-    dropped_kmers = jnp.where(live & ~kept, merged.counts, 0).sum()
+    dropped_kmers = jnp.where(idx >= capacity,
+                              jnp.where(idx < merged.n_unique, r_cnt, 0),
+                              0).sum()
+    # restore the key-sorted invariant on the kept prefix (live first)
+    kept_live = idx[:capacity] < jnp.minimum(merged.n_unique, capacity)
+    k_dead = (~kept_live).astype(jnp.uint32)
+    _, s_hi, s_lo, s_cnt = jax.lax.sort(
+        (k_dead, r_hi[:capacity], r_lo[:capacity], r_cnt[:capacity]),
+        num_keys=3, is_stable=True)
+    n_kept = jnp.minimum(merged.n_unique, capacity)
+    kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
     out = CountTable(
-        keys=U64(merged.keys.hi[:capacity], merged.keys.lo[:capacity]),
-        counts=merged.counts[:capacity],
-        n_unique=jnp.minimum(merged.n_unique, capacity),
+        keys=U64(jnp.where(kept, s_hi, 0), jnp.where(kept, s_lo, 0)),
+        counts=jnp.where(kept, s_cnt, 0),
+        n_unique=n_kept,
     )
     return out, dropped_unique.astype(jnp.int32), dropped_kmers.astype(jnp.int32)
 

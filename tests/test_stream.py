@@ -99,3 +99,54 @@ def test_count_fastx_end_to_end(tmp_path):
             want[min(fw, rc)] += 1
     assert sc.to_pairs() == sorted(want.items())
     assert sc.dropped_unique == 0
+
+
+def test_eviction_policy_lowest_count_first():
+    """Over-capacity merges evict the rarest k-mers first (ties: largest
+    keys), keeping the heavy hitters -- the documented policy."""
+    k = 5
+    sc = StreamingCounter(k, capacity=4)
+    # 6 distinct canonical 5-mers with controlled multiplicities in ONE
+    # batch: each read is one 5-mer repeated as separate rows
+    kmers = [b"AAAAA", b"AAAAC", b"AAAAG", b"AAACC", b"AAAGG", b"AATTC"]
+    mults = [6, 5, 4, 3, 2, 1]
+    rows = []
+    for s, m in zip(kmers, mults):
+        rows += [s] * m
+    batch = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, 5)
+    sc.update(jnp.asarray(batch))
+    pairs = sc.to_pairs()
+    # capacity 4 keeps the 4 highest counts
+    assert sorted(c for _, c in pairs) == [3, 4, 5, 6]
+    assert sc.dropped_unique == 2
+    assert sc.dropped_kmers == 3  # counts 2 + 1
+    # keys stay sorted (lookup invariant)
+    keys = [w for w, _ in pairs]
+    assert keys == sorted(keys)
+    # lookup still exact for survivors
+    for s, m in zip(kmers[:3], mults[:3]):
+        it = o.CanonicalKmerIterator(s, k)
+        km, _ = it.get()
+        word = km.get_canonical_word()
+        from kmers_tpu.core import u64 as u
+        got = int(np.asarray(sc.lookup(u.from_numpy(
+            np.array([word], dtype=np.uint64))))[0])
+        assert got == m
+
+
+def test_eviction_tie_breaks_toward_large_keys():
+    k = 5
+    sc = StreamingCounter(k, capacity=2)
+    kmers = [b"AAAAA", b"AAAAC", b"AAAAG"]  # canonical words ascending
+    batch = np.frombuffer(b"".join(kmers), dtype=np.uint8).reshape(-1, 5)
+    sc.update(jnp.asarray(batch))
+    pairs = sc.to_pairs()
+    assert [c for _, c in pairs] == [1, 1]
+    # all counts equal -> the numerically largest canonical word evicted
+    words = []
+    for s in kmers:
+        it = o.CanonicalKmerIterator(s, k)
+        km, _ = it.get()
+        words.append(km.get_canonical_word())
+    assert [w for w, _ in pairs] == sorted(words)[:2]
+    assert sc.dropped_unique == 1
