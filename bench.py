@@ -3,24 +3,28 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-fraction of the HBM-roofline speed-of-light for this op on the current chip:
-the benched step reads 1 B/kmer of ASCII and writes the canonical word (8 B),
-the mixer hash (8 B) and the validity byte (1 B) back to HBM -- 18 B of HBM
-traffic per k-mer.  SOL = HBM_BW / 18.  The ">= 80% of HBM roofline" target
-from BASELINE.json means vs_baseline >= 0.8.
+fraction of the HBM-roofline speed-of-light for this step on the current
+chip.  Timing protocol: serial lax.scan chain + slope between two chain
+lengths, with a dependent-scalar fetch as the only sync -- see benchlib.py
+for why nothing else is trustworthy over the axon relay (round 1 shipped a
+physically impossible vs_baseline=1.005 built on block_until_ready).
 
-Protocol notes (learned the hard way):
-  * inputs CYCLE through 8 distinct device buffers -- repeated calls on one
-    buffer can short-circuit in the runtime and report super-roofline rates;
-  * the host must be otherwise idle (dispatch is host-driven; concurrent
-    CPU load inflates per-call latency 20x);
-  * best-of-3 timed rounds after a warmup/compile call.
+Traffic model (all arrays [B, L]-padded; windows exist at the first L-k+1
+lanes but every lane is read/written):
+    kernel: ASCII in (1 B/lane) + canonical hi/lo + hash hi/lo (4x u32)
+            + validity (u8) out = 18 B/lane
+    chain derivation (next ASCII from this iteration's hash word, one
+            elementwise kernel): hash_lo in (4 B/lane) + ASCII out (1 B/lane)
+            = 5 B/lane
+    total 23 B/lane = 23*L/(L-k+1) B/kmer (~23.7 B at L=1024, k=31).
+SOL = HBM_BW / bytes_per_kmer.  The ">= 80% of HBM roofline" target from
+BASELINE.json means vs_baseline >= 0.8; values >= 1.0 are a measurement
+bug, never a result.
 """
 
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_kmers_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
@@ -30,50 +34,53 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+import benchlib
 from kmers_tpu.kernels import window as kwin
 
 K = 31
 B, L = 2048, 1024          # 2 MiB of ASCII; ~2.03M k-mer windows per call
-N_BUFFERS = 8
-CALLS = 48
-ROUNDS = 3
 
-# Peak HBM bandwidth by TPU generation (GB/s); fallback covers CPU runs.
-HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5 lite": 819.0,
-            "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0}
+# Peak HBM bandwidth by TPU generation (GB/s).
+HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5lite": 819.0,
+            "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0, "v6lite": 1640.0}
 
 
 def hbm_gbps() -> float:
+    """Peak HBM bandwidth of device 0.  Fails loudly on an unknown TPU
+    rather than silently assuming a v5e denominator (a wrong peak makes
+    vs_baseline fiction).  KMERS_TPU_HBM_GBPS overrides."""
+    override = os.environ.get("KMERS_TPU_HBM_GBPS")
+    if override:
+        return float(override)
     dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "").lower()
+    kind = getattr(dev, "device_kind", "").lower().replace(" ", "")
     for key, bw in HBM_GBPS.items():
-        if key.replace(" ", "") in kind.replace(" ", ""):
+        if key in kind:
             return bw
-    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
-    return HBM_GBPS.get(gen, 819.0)
+    if dev.platform == "tpu":
+        raise RuntimeError(
+            f"unknown TPU device_kind {dev.device_kind!r}: add its peak HBM "
+            f"GB/s to HBM_GBPS or set KMERS_TPU_HBM_GBPS")
+    # non-TPU (CPU smoke runs): vs_baseline is nominal-only there
+    return HBM_GBPS["v5e"]
 
 
 def step(reads):
-    return kwin.pack_canonical_hash(reads, K)
+    """One benched iteration: the fused kernel, then derive the next input
+    from the hash output (serial dependency; 4-letter variety)."""
+    _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, K)
+    return benchlib.ascii_from_codes(hash_lo)
 
 
 def main():
     rng = np.random.default_rng(0)
-    inputs = [
-        jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
-                               size=(B, L)))
-        for _ in range(N_BUFFERS)
-    ]
-    jax.block_until_ready(step(inputs[0]))   # compile
-    best = float("inf")
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        outs = [step(inputs[i % N_BUFFERS])[0] for i in range(CALLS)]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / CALLS)
+    reads0 = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                    size=(B, L)))
+    sec = benchlib.chain_seconds_per_iter(step, reads0)
     kmers = B * (L - K + 1)
-    rate = kmers / best
-    sol = hbm_gbps() * 1e9 / 18.0
+    rate = kmers / sec
+    bytes_per_iter = B * L * (18 + 5)
+    sol = hbm_gbps() * 1e9 / (bytes_per_iter / kmers)
     print(json.dumps({
         "metric": "kmers_per_sec_per_chip_pack_canonical_hash_k31",
         "value": round(rate, 1),

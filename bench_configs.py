@@ -7,13 +7,16 @@ Multi-chip configs (4, 5) measure the single-chip kernel here and are
 functionally validated on the 8-device CPU mesh by tests/test_parallel.py,
 tests/test_halo.py (no multi-chip hardware in this environment).
 
-Protocol: bench.py rules -- distinct input buffers, warmup, best-of-3.
+Timing: the benchlib serial-chain slope protocol -- every iteration's input
+is derived on-device from the previous iteration's outputs, the only sync
+is a dependent-scalar fetch, and the rate is the slope between two chain
+lengths (see benchlib.py for why block_until_ready timing is fiction over
+the axon relay).
 """
 
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_kmers_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
@@ -23,27 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import benchlib
+
 QUICK = "--quick" in sys.argv
 
 
-def bench(fn, inputs, items_per_call, rounds=3):
-    """Each timed call gets its OWN input buffer (cycling a small pool can
-    short-circuit in the runtime and report super-roofline rates)."""
-    calls = len(inputs)
-    jax.block_until_ready(fn(inputs[0]))
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        outs = [fn(inputs[i]) for i in range(calls)]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / calls)
-    return items_per_call / best
-
-
-def make_inputs(n, B, L, seed=0):
+def first_reads(B, L, seed=0):
     rng = np.random.default_rng(seed)
-    return [jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
-                                   size=(B, L))) for _ in range(n)]
+    return jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                  size=(B, L)))
 
 
 def emit(name, value, unit, note=""):
@@ -54,42 +45,42 @@ def emit(name, value, unit, note=""):
 def main():
     from kmers_tpu.core import u64 as u
     from kmers_tpu.kernels import minimizer as kmini, window as kwin
+    from kmers_tpu.kernels import window_wide as kww
     from kmers_tpu.ops import kmer as kmer_ops
     from kmers_tpu.parallel import count_reads
 
-    nbuf = 2 if QUICK else 16
-
-    # config 1: k=15 encode+decode+hash, 10k x 150bp reads
+    # config 1: k=15 encode+hash, 10k x 150bp reads
     B1, L1 = (1024, 152) if QUICK else (10240, 152)
-    inp1 = make_inputs(nbuf, B1, L1, 1)
 
-    @jax.jit
     def cfg1(reads):
         win = kmer_ops.kmer_windows(reads, 15)
         h = u.mix_hash(win.fw)
-        dec = (win.fw.lo & jnp.uint32(3))  # touch decode path cheaply
-        return h.hi, h.lo, win.valid, dec
+        return benchlib.ascii_from_codes(h.lo)
 
-    rate = bench(cfg1, inp1, B1 * (L1 - 15 + 1))
+    rate = benchlib.chain_rate(cfg1, first_reads(B1, L1, 1),
+                               B1 * (L1 - 15 + 1))
     emit("k15_encode_hash_150bp", rate, "kmers/s")
 
     # config 2: k=31 canonical over 1M reads (streamed in batches)
     B2, L2 = 2048, 1024
-    inp2 = make_inputs(nbuf, B2, L2, 2)
-    rate = bench(lambda r: kwin.pack_canonical_hash(r, 31), inp2,
-                 B2 * (L2 - 31 + 1))
+
+    def cfg2(reads):
+        _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, 31)
+        return benchlib.ascii_from_codes(hash_lo)
+
+    rate = benchlib.chain_rate(cfg2, first_reads(B2, L2, 2),
+                               B2 * (L2 - 31 + 1))
     emit("k31_canonical_hash", rate, "kmers/s",
          "bit-exactness vs reference: tests/test_ops.py, tests/test_oracle.py")
 
     # config 3: k=63 multi-word (2xu64) windows + canonical + hash
     # (fused Pallas kernel; correctness vs jnp checked here on-device)
     from kmers_tpu.core import u128 as u128mod
-    from kmers_tpu.kernels import window_wide as kww
 
     B3, L3 = (256, 512) if QUICK else (2048, 1024)
-    inp3 = make_inputs(nbuf, B3, L3, 3)
-    got = jax.block_until_ready(kww.pack_canonical_hash_wide(inp3[0], 63))
-    win = kmer_ops.kmer_windows_wide(inp3[0], 63)
+    inp3 = first_reads(B3, L3, 3)
+    got = jax.block_until_ready(kww.pack_canonical_hash_wide(inp3, 63))
+    win = kmer_ops.kmer_windows_wide(inp3, 63)
     canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
     h = u128mod.mix_hash(canon, 0)
     exact = all([
@@ -100,17 +91,25 @@ def main():
                        np.asarray(win.valid)),
     ])
     del got, win, canon, h  # free device memory before the timed loop
-    rate = bench(lambda r: kww.pack_canonical_hash_wide(r, 63), inp3,
-                 B3 * (L3 - 63 + 1))
+
+    def cfg3(reads):
+        outs = kww.pack_canonical_hash_wide(reads, 63)
+        return benchlib.ascii_from_codes(outs[5])   # hash_lo
+
+    rate = benchlib.chain_rate(cfg3, inp3, B3 * (L3 - 63 + 1))
     emit("k63_2xu64_window_canonical", rate, "kmers/s",
          f"pallas kernel, on-device bit-exact vs jnp: {exact}")
 
     # config 4: minimizers w=11 k=31 (single-chip kernel; 8-chip DP path
     # validated on CPU mesh in tests/test_halo.py)
     B4, L4 = (256, 512) if QUICK else (2048, 1024)
-    inp4 = make_inputs(nbuf, B4, L4, 4)
-    rate = bench(lambda r: kmini.minimizer_kernel(r, 31, 11), inp4,
-                 B4 * (L4 - 31 + 1))
+
+    def cfg4(reads):
+        word_hi, word_lo, pos, _valid = kmini.minimizer_kernel(reads, 31, 11)
+        return benchlib.ascii_from_codes(word_lo ^ pos.astype(jnp.uint32))
+
+    rate = benchlib.chain_rate(cfg4, first_reads(B4, L4, 4),
+                               B4 * (L4 - 31 + 1))
     emit("minimizers_k31_w11", rate, "kmers/s",
          "8-chip data-parallel path: tests/test_halo.py on CPU mesh")
 
@@ -118,9 +117,18 @@ def main():
     # E. coli-scale stream = many such batches; multi-host all_to_all path
     # validated on CPU mesh (tests/test_parallel.py)
     B5, L5 = (512, 256) if QUICK else (4096, 256)
-    inp5 = make_inputs(nbuf, B5, L5, 5)
-    rate = bench(jax.jit(lambda r: count_reads(r, 31)), inp5,
-                 B5 * (L5 - 31 + 1))
+
+    def cfg5(reads):
+        res = count_reads(reads, 31)
+        # scalar depending on the whole table; rotates every base code
+        s = (jnp.sum(res.table.counts.astype(jnp.uint32)) ^
+             jnp.sum(res.table.keys.lo)) & jnp.uint32(3)
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        code = internal ^ (internal >> 1)
+        return benchlib.ascii_from_codes(code + s)
+
+    rate = benchlib.chain_rate(cfg5, first_reads(B5, L5, 5),
+                               B5 * (L5 - 31 + 1))
     emit("count_pipeline_k31", rate, "kmers/s",
          "sort+segment-sum count table per batch; sharded path on CPU mesh")
 

@@ -2,7 +2,9 @@
 
 The parser (native/fastx.cpp, ctypes C ABI) fills fixed-shape [B, L] uint8
 batches padded with 'N' -- padding reuses the N machinery, so downstream
-kernels need no ragged handling (SURVEY.md §7 "ragged reads").
+kernels need no ragged handling (SURVEY.md §7 "ragged reads").  Gzip input
+(.fastq.gz / .fasta.gz) is decoded transparently on both paths: zlib gzFile
+in the native parser, the gzip module (sniffed by magic bytes) here.
 
 Long records (contigs, references) are split by the parser into rows with a
 (k-1)-base overlap so every k-mer window of the original record appears in
@@ -69,9 +71,21 @@ def native_available() -> bool:
     return _load_native() is not None
 
 
+def _open_maybe_gz(path: str):
+    """Binary handle; gzip-compressed files (1f 8b magic) are inflated
+    transparently, matching the native parser's zlib gzFile behavior."""
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def _py_records(path: str) -> Iterator[bytes]:
     """Pure-Python fallback parser (same record semantics as native)."""
-    with open(path, "rb") as f:
+    with _open_maybe_gz(path) as f:
         first = f.read(1)
         f.seek(0)
         if first == b">":

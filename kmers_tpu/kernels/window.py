@@ -33,6 +33,8 @@ def _shift_left_roll(a: jnp.ndarray, s: int, iota: jnp.ndarray) -> jnp.ndarray:
     if s == 0:
         return a
     L = a.shape[-1]
+    if s >= L:   # every source position is past the end (tiny-L reads)
+        return jnp.zeros_like(a)
     rolled = pltpu.roll(a, shift=L - s, axis=len(a.shape) - 1)
     return jnp.where(iota < L - s, rolled, jnp.zeros_like(a))
 

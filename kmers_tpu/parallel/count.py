@@ -20,7 +20,7 @@ Everything returns fixed-capacity tables: ``keys[cap]``, ``counts[cap]``,
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,9 +46,26 @@ class CountTable(NamedTuple):
         return self.counts.shape[-1]
 
 
-def sort_by_word(words: U64, valid: jnp.ndarray, *extras):
+def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
+                 spare_hi_bit: bool = False):
     """Stable sort lanes by ((~valid), hi, lo).  Returns (words, valid,
-    *extras) reordered; invalid lanes are last."""
+    *extras) reordered; invalid lanes are last.
+
+    spare_hi_bit=True is a bandwidth optimization for k <= 31: bit 31 of
+    `hi` is structurally clear for every valid k-mer word (hi holds at most
+    2k-32 <= 30 bits), so the invalid flag folds into it -- the sort then
+    moves two key operands instead of three keys + a valid payload, and
+    valid is reconstructed as lane < n_valid (invalid lanes all carry the
+    flag bit, so they sort strictly last).  NOT safe for k = 32 (the all-T
+    word uses bit 31): there the separate invalid key keeps u64::MAX
+    k-mers from aliasing padding (see module docstring)."""
+    if spare_hi_bit:
+        flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1) << 31)
+        out = jax.lax.sort((words.hi | flag, words.lo) + tuple(extras),
+                           num_keys=2, is_stable=True)
+        n = words.lo.shape[-1]
+        v = jnp.arange(n, dtype=jnp.int32) < valid.sum(dtype=jnp.int32)
+        return U64(out[0] & jnp.uint32(0x7FFFFFFF), out[1]), v, out[2:]
     invalid_key = (~valid).astype(jnp.uint32)
     operands = (invalid_key, words.hi, words.lo, valid) + tuple(extras)
     out = jax.lax.sort(operands, num_keys=3, is_stable=True)
@@ -67,12 +84,14 @@ def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
     # invalid lanes: weight 0 and group id clamped into range
     weights = valid.astype(jnp.int32)
     gid_safe = jnp.clip(gid, 0, n - 1)
-    counts = jax.ops.segment_sum(weights, gid_safe, num_segments=n)
+    counts = jax.ops.segment_sum(weights, gid_safe, num_segments=n,
+                                 indices_are_sorted=True)
     # first occurrence of each group (invalid lanes excluded by giving them
     # group n-1, which is unreachable by construction when any lane is
     # invalid: n_unique <= n_valid <= n-1)
     gid_for_min = jnp.where(valid, gid_safe, n - 1)
-    first_pos = jax.ops.segment_min(idx, gid_for_min, num_segments=n)
+    first_pos = jax.ops.segment_min(idx, gid_for_min, num_segments=n,
+                                    indices_are_sorted=True)
     pos = jnp.clip(first_pos, 0, n - 1)
     live = idx < n_unique
     keys = U64(
@@ -83,19 +102,26 @@ def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
     return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 
 
-def count_words(words: U64, valid: jnp.ndarray) -> CountTable:
-    """Sort + count a flat lane array of k-mer words."""
+def count_words(words: U64, valid: jnp.ndarray,
+                max_k: Optional[int] = None) -> CountTable:
+    """Sort + count a flat lane array of k-mer words.
+
+    max_k: when given and <= 31, the sort folds the invalid flag into the
+    structurally-spare bit 31 of hi (see sort_by_word) -- same table,
+    ~2x less sort traffic.  Leave None for unknown or k = 32 key spaces."""
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
-    s, v, _ = sort_by_word(flat, valid.reshape(-1))
+    s, v, _ = sort_by_word(flat, valid.reshape(-1),
+                           spare_hi_bit=max_k is not None and max_k <= 31)
     return count_sorted(s, v)
 
 
-def count_weighted(words: U64, valid: jnp.ndarray,
-                   weights: jnp.ndarray) -> CountTable:
+def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
+                   max_k: Optional[int] = None) -> CountTable:
     """Like count_words but each lane contributes `weights` (int32) --
     used to merge pre-counted tables."""
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
-    s, v, (w,) = sort_by_word(flat, valid.reshape(-1), weights.reshape(-1))
+    s, v, (w,) = sort_by_word(flat, valid.reshape(-1), weights.reshape(-1),
+                              spare_hi_bit=max_k is not None and max_k <= 31)
     n = s.lo.shape[-1]
     prev = U64(jnp.roll(s.hi, 1), jnp.roll(s.lo, 1))
     prev_valid = jnp.roll(v, 1)
@@ -104,10 +130,12 @@ def count_weighted(words: U64, valid: jnp.ndarray,
     gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
     n_unique = jnp.maximum(gid[-1] + 1, 0) * v.any().astype(jnp.int32)
     gid_safe = jnp.clip(gid, 0, n - 1)
-    counts = jax.ops.segment_sum(jnp.where(v, w, 0), gid_safe, num_segments=n)
+    counts = jax.ops.segment_sum(jnp.where(v, w, 0), gid_safe, num_segments=n,
+                                 indices_are_sorted=True)
     gid_for_min = jnp.where(v, gid_safe, n - 1)
     first_pos = jnp.clip(
-        jax.ops.segment_min(idx, gid_for_min, num_segments=n), 0, n - 1)
+        jax.ops.segment_min(idx, gid_for_min, num_segments=n,
+                            indices_are_sorted=True), 0, n - 1)
     live = idx < n_unique
     keys = U64(
         jnp.where(live, s.hi[first_pos], 0).astype(jnp.uint32),
@@ -168,20 +196,34 @@ class CountTableWide(NamedTuple):
         return self.counts.shape[-1]
 
 
-def count_words_wide(words: U128, valid: jnp.ndarray) -> CountTableWide:
+def count_words_wide(words: U128, valid: jnp.ndarray,
+                     max_k: Optional[int] = None) -> CountTableWide:
     """Sort + count 128-bit keys: 5-key lexicographic sort
-    (invalid, hi.hi, hi.lo, lo.hi, lo.lo) then run-length counting."""
+    (invalid, hi.hi, hi.lo, lo.hi, lo.lo) then run-length counting.
+
+    max_k <= 63 folds the invalid flag into the structurally-spare bit 31
+    of hi.hi (hi.hi holds at most 2k-96 <= 30 bits): 4 sort operands
+    instead of 6, valid reconstructed as lane < n_valid."""
     flat = U128(
         U64(words.hi.hi.reshape(-1), words.hi.lo.reshape(-1)),
         U64(words.lo.hi.reshape(-1), words.lo.lo.reshape(-1)))
     v = valid.reshape(-1)
-    invalid_key = (~v).astype(jnp.uint32)
-    out = jax.lax.sort(
-        (invalid_key, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
-        num_keys=5, is_stable=True)
-    s = U128(U64(out[1], out[2]), U64(out[3], out[4]))
-    sv = out[5]
-    n = sv.shape[-1]
+    n = v.shape[-1]
+    if max_k is not None and max_k <= 63:
+        flag = jnp.where(v, jnp.uint32(0), jnp.uint32(1) << 31)
+        out = jax.lax.sort(
+            (flat.hi.hi | flag, flat.hi.lo, flat.lo.hi, flat.lo.lo),
+            num_keys=4, is_stable=True)
+        s = U128(U64(out[0] & jnp.uint32(0x7FFFFFFF), out[1]),
+                 U64(out[2], out[3]))
+        sv = jnp.arange(n, dtype=jnp.int32) < v.sum(dtype=jnp.int32)
+    else:
+        invalid_key = (~v).astype(jnp.uint32)
+        out = jax.lax.sort(
+            (invalid_key, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
+            num_keys=5, is_stable=True)
+        s = U128(U64(out[1], out[2]), U64(out[3], out[4]))
+        sv = out[5]
     prev = jax.tree.map(lambda x: jnp.roll(x, 1), s)
     prev_valid = jnp.roll(sv, 1)
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -190,9 +232,10 @@ def count_words_wide(words: U128, valid: jnp.ndarray) -> CountTableWide:
     n_unique = jnp.maximum(gid[-1] + 1, 0) * sv.any().astype(jnp.int32)
     gid_safe = jnp.clip(gid, 0, n - 1)
     counts = jax.ops.segment_sum(sv.astype(jnp.int32), gid_safe,
-                                 num_segments=n)
+                                 num_segments=n, indices_are_sorted=True)
     gid_for_min = jnp.where(sv, gid_safe, n - 1)
-    pos = jnp.clip(jax.ops.segment_min(idx, gid_for_min, num_segments=n),
+    pos = jnp.clip(jax.ops.segment_min(idx, gid_for_min, num_segments=n,
+                                       indices_are_sorted=True),
                    0, n - 1)
     live = idx < n_unique
     take = lambda x: jnp.where(live, x[pos], 0).astype(jnp.uint32)

@@ -45,7 +45,7 @@ def canonical_kmers(reads: jnp.ndarray, k: int) -> Tuple[U64, jnp.ndarray]:
 def count_reads(reads: jnp.ndarray, k: int) -> CountResult:
     """Single-device bit-exact k-mer counter (BASELINE config 2)."""
     canon, valid = canonical_kmers(reads, k)
-    table = count_ops.count_words(canon, valid)
+    table = count_ops.count_words(canon, valid, max_k=k)
     n_win = reads.shape[-1] - k + 1
     metrics = {
         "reads": jnp.int32(reads.shape[0]),
@@ -62,7 +62,7 @@ def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
     canon, valid = canonical_kmers(reads_local, k)
     routed = route_ops.route(canon, valid, axis, capacity, seed,
                              passes=passes)
-    table = count_ops.count_words(routed.words, routed.valid)
+    table = count_ops.count_words(routed.words, routed.valid, max_k=k)
     n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
@@ -170,7 +170,7 @@ def canonical_kmers_wide(reads: jnp.ndarray, k: int):
 def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
     """Single-device counter for multi-word k (BASELINE config 3)."""
     canon, valid = canonical_kmers_wide(reads, k)
-    table = count_ops.count_words_wide(canon, valid)
+    table = count_ops.count_words_wide(canon, valid, max_k=k)
     n_win = reads.shape[-1] - k + 1
     metrics = {
         "reads": jnp.int32(reads.shape[0]),
@@ -186,7 +186,7 @@ def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
     canon, valid = canonical_kmers_wide(reads_local, k)
     routed = route_ops.route_wide(canon, valid, axis, capacity, seed,
                                   passes=passes)
-    table = count_ops.count_words_wide(routed.words, routed.valid)
+    table = count_ops.count_words_wide(routed.words, routed.valid, max_k=k)
     n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
@@ -264,14 +264,14 @@ def make_sequence_parallel_counter(mesh: Mesh, k: int, *, route_capacity: int,
             routed = route_ops.route_wide(canon, win.valid, axis,
                                           route_capacity, seed,
                                           passes=route_passes)
-            table = count_ops.count_words_wide(routed.words, routed.valid)
+            table = count_ops.count_words_wide(routed.words, routed.valid, max_k=k)
         else:
             win = halo_ops.sharded_windows(seq_local, k, axis)
             canon = kmer_ops.canonical_word(win.fw, win.rc)
             routed = route_ops.route(canon, win.valid, axis,
                                      route_capacity, seed,
                                      passes=route_passes)
-            table = count_ops.count_words(routed.words, routed.valid)
+            table = count_ops.count_words(routed.words, routed.valid, max_k=k)
         metrics = {
             "kmers_emitted": jax.lax.psum(
                 win.valid.sum().astype(jnp.int32), axis),
@@ -317,7 +317,8 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
         mm = mini_ops.minimizer_stream(reads_local, k, w, hash_fn)
         routed = route_ops.route(mm.word, mm.valid, axis, route_capacity,
                                  seed, passes=route_passes)
-        table = count_ops.count_words(routed.words, routed.valid)
+        table = count_ops.count_words(routed.words, routed.valid,
+                                      max_k=w)  # table keys are w-mer words
         metrics = {
             "kmers_emitted": jax.lax.psum(
                 mm.valid.sum().astype(jnp.int32), axis),

@@ -14,6 +14,9 @@
 //     quality (len(seq) bytes; quality lines may start with '@', handled by
 //     length tracking).
 //   * CRLF tolerated; arbitrary line lengths (1 MiB buffered reader).
+//   * gzip-compressed input (.fastq.gz etc.) handled transparently via
+//     zlib's gzFile layer -- gzread passes plain files through unchanged,
+//     so one code path serves both.
 //
 // Two batch modes:
 //   * fastx_next_batch: one record per row; records longer than L are
@@ -29,13 +32,15 @@
 #include <cstring>
 #include <cstdint>
 
+#include <zlib.h>
+
 namespace {
 
 constexpr size_t kBufSize = 1 << 20;
 constexpr long kMaxOverlap = 4096;
 
 struct Reader {
-    FILE* f = nullptr;
+    gzFile f = nullptr;  // zlib: plain files pass through, .gz inflates
     unsigned char buf[kBufSize];
     size_t pos = 0, len = 0;
     bool eof = false;
@@ -49,23 +54,28 @@ struct Reader {
     long carry_len = 0;
     long long seq_total = 0;       // bases of current record seen so far
 
-    int peek() {
-        if (pos >= len) {
-            if (eof) return -1;
-            len = fread(buf, 1, kBufSize, f);
-            pos = 0;
-            if (len == 0) { eof = true; return -1; }
+    // Refill buf from the (possibly compressed) stream.  Returns false at
+    // EOF or on a decompression error (error flag set).
+    bool refill() {
+        if (eof) return false;
+        int n = gzread(f, buf, (unsigned)kBufSize);
+        pos = 0;
+        if (n <= 0) {
+            len = 0;
+            eof = true;
+            if (n < 0) error = true;  // corrupt gzip stream
+            return false;
         }
+        len = (size_t)n;
+        return true;
+    }
+    int peek() {
+        if (pos >= len && !refill()) return -1;
         return buf[pos];
     }
     void skip_line() {
         for (;;) {
-            if (pos >= len) {
-                if (eof) return;
-                len = fread(buf, 1, kBufSize, f);
-                pos = 0;
-                if (len == 0) { eof = true; return; }
-            }
+            if (pos >= len && !refill()) return;
             unsigned char* nl =
                 (unsigned char*)memchr(buf + pos, '\n', len - pos);
             if (nl) { pos = nl - buf + 1; return; }
@@ -81,11 +91,9 @@ long fill_from_line(Reader* r, unsigned char* dst, long cap, long have,
                     bool* line_done) {
     *line_done = false;
     for (;;) {
-        if (r->pos >= r->len) {
-            if (r->eof) { *line_done = true; return have; }
-            r->len = fread(r->buf, 1, kBufSize, r->f);
-            r->pos = 0;
-            if (r->len == 0) { r->eof = true; *line_done = true; return have; }
+        if (r->pos >= r->len && !r->refill()) {
+            *line_done = true;
+            return have;
         }
         unsigned char* start = r->buf + r->pos;
         size_t avail = r->len - r->pos;
@@ -117,12 +125,7 @@ long fill_from_line(Reader* r, unsigned char* dst, long cap, long have,
 long long count_line(Reader* r) {
     long long count = 0;
     for (;;) {
-        if (r->pos >= r->len) {
-            if (r->eof) return count;
-            r->len = fread(r->buf, 1, kBufSize, r->f);
-            r->pos = 0;
-            if (r->len == 0) { r->eof = true; return count; }
-        }
+        if (r->pos >= r->len && !r->refill()) return count;
         unsigned char* start = r->buf + r->pos;
         size_t avail = r->len - r->pos;
         unsigned char* nl = (unsigned char*)memchr(start, '\n', avail);
@@ -161,14 +164,15 @@ bool skip_quality(Reader* r) {
 extern "C" {
 
 void* fastx_open(const char* path) {
-    FILE* f = fopen(path, "rb");
+    gzFile f = gzopen(path, "rb");
     if (!f) return nullptr;
+    gzbuffer(f, kBufSize);  // large inflate buffer for throughput
     Reader* r = new Reader();
     r->f = f;
     int c = r->peek();
     if (c == '>') r->format = 1;
     else if (c == '@') r->format = 2;
-    else { fclose(f); delete r; return nullptr; }
+    else { gzclose(f); delete r; return nullptr; }
     return r;
 }
 
@@ -180,7 +184,7 @@ int fastx_format(void* handle) {
 void fastx_close(void* handle) {
     Reader* r = (Reader*)handle;
     if (r) {
-        if (r->f) fclose(r->f);
+        if (r->f) gzclose(r->f);
         delete r;
     }
 }

@@ -116,6 +116,51 @@ def test_native_python_chunk_parity(tmp_path):
     assert ca == cb
 
 
+@pytest.mark.parametrize("fmt", ["fasta", "fastq"])
+@pytest.mark.parametrize("force_python", [False, True])
+def test_gzip_roundtrip(tmp_path, fmt, force_python):
+    """.fastq.gz / .fasta.gz decode to the same records as the plain file
+    (native path: zlib gzFile; python path: gzip module by magic bytes)."""
+    import gzip
+
+    if not force_python and not fastx.native_available():
+        pytest.skip("native lib not built")
+    records = [rand_seq(RNG.randrange(1, 300)) for _ in range(25)]
+    plain = str(tmp_path / f"reads.{fmt}")
+    (write_fasta if fmt == "fasta" else write_fastq)(plain, records)
+    gzpath = plain + ".gz"
+    with open(plain, "rb") as src, gzip.open(gzpath, "wb") as dst:
+        dst.write(src.read())
+    got = []
+    for rows, lens in fastx.read_records(gzpath, batch=8, length=512,
+                                         force_python=force_python):
+        for i in range(rows.shape[0]):
+            got.append(bytes(rows[i, :lens[i]]))
+    assert got == records
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_gzip_kmer_batches_match_plain(tmp_path, force_python):
+    if not force_python and not fastx.native_available():
+        pytest.skip("native lib not built")
+    import gzip
+
+    k = 21
+    records = [rand_seq(RNG.randrange(5, 900)) for _ in range(12)]
+    plain = str(tmp_path / "mix.fasta")
+    write_fasta(plain, records, width=80)
+    gzpath = plain + ".gz"
+    with open(plain, "rb") as src, gzip.open(gzpath, "wb") as dst:
+        dst.write(src.read())
+    a = [b.copy() for b in fastx.read_kmer_batches(
+        plain, k, 4, 128, force_python=force_python)]
+    b = [b.copy() for b in fastx.read_kmer_batches(
+        gzpath, k, 4, 128, force_python=force_python)]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_pack2bit_native_matches_seqvector():
     seq = rand_seq(1000, b"ACGTNacgt")
     words, bitmap = fastx.pack2bit_native(seq)
