@@ -133,5 +133,29 @@ def main():
          "sort+segment-sum count table per batch; sharded path on CPU mesh")
 
 
+def length_matrix():
+    """The reference's criterion matrix: k=31 construct (+canonical+hash)
+    throughput over input lengths 2^8..2^15
+    (/root/reference/benches/simple_benchmark.rs:61-78).  Batch sized to
+    keep ~2 MiB of ASCII per call at every length."""
+    from kmers_tpu.kernels import window as kwin
+
+    for exp in range(8, 16):
+        L = 1 << exp
+        B = max(256, (2 << 20) // L)
+        B -= B % 256
+
+        def step(reads):
+            _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, 31)
+            return benchlib.ascii_from_codes(hash_lo)
+
+        rate = benchlib.chain_rate(step, first_reads(B, L, exp),
+                                   B * (L - 31 + 1))
+        emit(f"construct_k31_len_2e{exp}", rate, "kmers/s", f"B={B} L={L}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--lengths" in sys.argv:
+        length_matrix()
+    else:
+        main()

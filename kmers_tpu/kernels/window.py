@@ -39,6 +39,23 @@ def _shift_left_roll(a: jnp.ndarray, s: int, iota: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(iota < L - s, rolled, jnp.zeros_like(a))
 
 
+def _roll_left(a: jnp.ndarray, s: int) -> jnp.ndarray:
+    """a'[.., p] = a[.., (p+s) mod L] -- NO tail mask.
+
+    Compute-saver for the window kernel: a k-window at lane p only reads
+    lanes p..p+k-1, all < L whenever the window is structurally valid
+    (p <= L-k), so wrap-around garbage lands exclusively in lanes the final
+    validity AND (iota < L-k+1) marks invalid -- and those lanes' outputs
+    are zeroed wholesale at the end.  Saves one compare + one select per
+    roll (~10 rolls/lane) over _shift_left_roll."""
+    if s == 0:
+        return a
+    L = a.shape[-1]
+    if s >= L:
+        return jnp.zeros_like(a)
+    return pltpu.roll(a, shift=L - s, axis=len(a.shape) - 1)
+
+
 def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
                    hash_hi_ref, hash_lo_ref, valid_ref, *, k: int, seed: int):
     ascii_u8 = reads_ref[:]
@@ -56,10 +73,11 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
         (lower == jnp.uint32(ord("g"))) | (lower == jnp.uint32(ord("t")))
     ).astype(jnp.uint32)
 
-    # log-doubling pack: w16[p] = bases p..p+15
+    # log-doubling pack: w16[p] = bases p..p+15 (unmasked rolls: wrap
+    # garbage only reaches structurally-invalid lanes, zeroed at the end)
     w = codes
     for s in (1, 2, 4, 8):
-        w = w | (_shift_left_roll(w, s, iota) << (2 * s))
+        w = w | (_roll_left(w, s) << (2 * s))
 
     # window words (k <= 32): lo = w16[p], hi = w16[p+16] masked
     if k <= 16:
@@ -67,16 +85,18 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
         hi = jnp.zeros_like(lo)
     else:
         lo = w
-        hi = _shift_left_roll(w, 16, iota)
+        hi = _roll_left(w, 16)
         if k < 32:
             hi = hi & jnp.uint32((1 << (2 * (k - 16))) - 1)
 
     # validity of the k-window: log-doubling AND, then structural bound
+    # (a valid window's AND tree reads only lanes p..p+k-1 < L, so the
+    # unmasked rolls are safe here too)
     v = valid
     got = 1
     while got < k:
         step = got if got * 2 <= k else k - got
-        v = v & _shift_left_roll(v, step, iota)
+        v = v & _roll_left(v, step)
         got += step
     v = v & (iota < L - k + 1).astype(jnp.uint32)
 
@@ -120,10 +140,11 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
     h_lo = mix32(canon_lo ^ mix32(canon_hi ^ s_lo))
     h_hi = mix32(canon_hi ^ mix32(canon_lo ^ s_hi ^ jnp.uint32(0x9E3779B9)))
 
-    canon_hi_ref[:] = canon_hi
-    canon_lo_ref[:] = canon_lo
-    hash_hi_ref[:] = h_hi
-    hash_lo_ref[:] = h_lo
+    vmask = jnp.uint32(0) - v          # v in {0,1}: 0 or all-ones
+    canon_hi_ref[:] = canon_hi & vmask
+    canon_lo_ref[:] = canon_lo & vmask
+    hash_hi_ref[:] = h_hi & vmask
+    hash_lo_ref[:] = h_lo & vmask
     valid_ref[:] = v.astype(jnp.uint8)
 
 
@@ -135,6 +156,9 @@ def pack_canonical_hash(reads: jnp.ndarray, k: int, seed: int = 0,
 
     Returns (canon_hi, canon_lo, hash_hi, hash_lo, valid_u8), all [B, L];
     window p of read b starts at base p (positions past L-k are invalid).
+    Valid lanes are bit-identical to the jnp path (ops.kmer.kmer_windows +
+    canonical + core.u64.mix_hash); invalid lanes are ZERO in the four u32
+    outputs (the jnp path leaves unspecified values there).
     B must be a multiple of block_rows (pad the batch).
     """
     assert 1 <= k <= 32

@@ -41,12 +41,12 @@ def _kernel_vs_jnp(reads, k, seed=0):
     win = kmer_ops.kmer_windows(reads, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
     h = u.mix_hash(canon, seed)
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.hi))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo))
-    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(h.hi))
-    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(h.lo))
-    np.testing.assert_array_equal(np.asarray(got[4]).astype(bool),
-                                  np.asarray(win.valid))
+    v = np.asarray(win.valid)
+    np.testing.assert_array_equal(np.asarray(got[4]).astype(bool), v)
+    for arr, want in zip(got[:4], (canon.hi, canon.lo, h.hi, h.lo)):
+        arr = np.asarray(arr)
+        np.testing.assert_array_equal(arr[v], np.asarray(want)[v])
+        assert (arr[~v] == 0).all()   # kernel zeroes invalid lanes
     return canon, win.valid
 
 

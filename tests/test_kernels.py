@@ -24,31 +24,34 @@ def make_reads(B, L, n_frac=0.03):
     return jnp.asarray(reads)
 
 
+def assert_window_outputs_match(got, reads, k, seed):
+    """Kernel contract: valid lanes bit-identical to the jnp path, invalid
+    lanes ZERO in the four u32 outputs."""
+    win = kmer_ops.kmer_windows(reads, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    h = u.mix_hash(canon, seed)
+    v = np.asarray(win.valid)
+    np.testing.assert_array_equal(np.asarray(got[4]).astype(bool), v)
+    for arr, want in zip(got[:4], (canon.hi, canon.lo, h.hi, h.lo)):
+        arr = np.asarray(arr)
+        np.testing.assert_array_equal(arr[v], np.asarray(want)[v])
+        assert (arr[~v] == 0).all()
+
+
 @pytest.mark.parametrize("k", [5, 16, 17, 31, 32])
 def test_window_kernel_matches_jnp(k):
     B, L = 8, 256
     reads = make_reads(B, L)
     got = kwin.pack_canonical_hash(reads, k, seed=3, block_rows=8,
                                    interpret=True)
-    win = kmer_ops.kmer_windows(reads, k)
-    canon = kmer_ops.canonical_word(win.fw, win.rc)
-    h = u.mix_hash(canon, 3)
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.hi))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo))
-    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(h.hi))
-    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(h.lo))
-    np.testing.assert_array_equal(
-        np.asarray(got[4]).astype(bool), np.asarray(win.valid))
+    assert_window_outputs_match(got, reads, k, 3)
 
 
 def test_window_kernel_multiblock_grid():
     k, B, L = 31, 32, 128
     reads = make_reads(B, L)
     got = kwin.pack_canonical_hash(reads, k, block_rows=8, interpret=True)
-    win = kmer_ops.kmer_windows(reads, k)
-    canon = kmer_ops.canonical_word(win.fw, win.rc)
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(canon.hi))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(canon.lo))
+    assert_window_outputs_match(got, reads, k, 0)
 
 
 from kmers_tpu.kernels import minimizer as kmini
