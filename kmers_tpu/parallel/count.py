@@ -9,10 +9,17 @@ Design (static shapes, no data-dependent control flow):
     (invalid = N-window / padding / structurally-out-of-range).
   * sort by (invalid, hi, lo) via ``jax.lax.sort`` with three keys --
     invalid lanes sort to the end *without* a sentinel key, so the all-T
-    k-mer (word == u64::MAX) cannot alias padding.
-  * group boundaries by neighbor compare; group ids by cumsum; counts by
-    ``segment_sum``; first-occurrence positions by ``segment_min`` -- the
-    TPU-friendly alternative to scatter-add (SURVEY.md §7 "hard parts").
+    k-mer (word == u64::MAX) cannot alias padding.  (For k <= 31 the
+    invalid flag folds into a spare key bit instead: 2 operands.)
+  * group boundaries by neighbor compare; then a second stable sort
+    compacts the run-start lanes (with their start positions as payload)
+    to the front, and each run's count is the DIFFERENCE OF CONSECUTIVE
+    compacted start positions.  Everything is sorts, shifts, compares and
+    log-depth scans -- scatter-free AND gather-free: on TPU,
+    ``segment_sum``/``segment_min`` lower to scatters that measured 18 ms
+    per 1M lanes (11x the sort itself) and [n]->[n] gathers are little
+    better, while a 4-operand sort moves the same data in ~2.5 ms
+    (profiled on v5e, 2026-08; SURVEY.md §7 "hard parts").
 
 Everything returns fixed-capacity tables: ``keys[cap]``, ``counts[cap]``,
 ``n_unique`` (traced scalar); slots past n_unique are zero padding.
@@ -72,33 +79,42 @@ def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
     return U64(out[1], out[2]), out[3], out[4:]
 
 
+def _run_starts(words: U64, valid: jnp.ndarray):
+    """Boundary mask of equal-word runs in a sorted lane array (invalid
+    lanes are last and never start a run)."""
+    n = words.lo.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev = U64(jnp.roll(words.hi, 1), jnp.roll(words.lo, 1))
+    prev_valid = jnp.roll(valid, 1)
+    starts = valid & ((idx == 0) | u.ne(words, prev) | ~prev_valid)
+    return starts, idx
+
+
+def _counts_from_positions(pos: jnp.ndarray, idx: jnp.ndarray,
+                           n_unique: jnp.ndarray,
+                           last_total: jnp.ndarray) -> jnp.ndarray:
+    """counts[g] = pos[g+1] - pos[g] for slots g < n_unique (the last live
+    run is closed by `last_total`): consecutive differences of compacted
+    start positions -- no segment ops, no gathers."""
+    live = idx < n_unique
+    nxt = jnp.where(idx + 1 < n_unique, jnp.roll(pos, -1), last_total)
+    return jnp.where(live, nxt - pos, 0)
+
+
 def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
     """Count runs of equal (already sorted) words; invalid lanes ignored."""
     n = words.lo.shape[-1]
-    prev = U64(jnp.roll(words.hi, 1), jnp.roll(words.lo, 1))
-    prev_valid = jnp.roll(valid, 1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    starts = valid & ((idx == 0) | u.ne(words, prev) | ~prev_valid)
-    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    n_unique = jnp.maximum(gid[-1] + 1, 0) * valid.any().astype(jnp.int32)
-    # invalid lanes: weight 0 and group id clamped into range
-    weights = valid.astype(jnp.int32)
-    gid_safe = jnp.clip(gid, 0, n - 1)
-    counts = jax.ops.segment_sum(weights, gid_safe, num_segments=n,
-                                 indices_are_sorted=True)
-    # first occurrence of each group (invalid lanes excluded by giving them
-    # group n-1, which is unreachable by construction when any lane is
-    # invalid: n_unique <= n_valid <= n-1)
-    gid_for_min = jnp.where(valid, gid_safe, n - 1)
-    first_pos = jax.ops.segment_min(idx, gid_for_min, num_segments=n,
-                                    indices_are_sorted=True)
-    pos = jnp.clip(first_pos, 0, n - 1)
+    starts, idx = _run_starts(words, valid)
+    n_unique = starts.sum(dtype=jnp.int32)
+    n_valid = valid.sum(dtype=jnp.int32)
+    # stable-compact run-start lanes (with their positions) to the front;
+    # stability preserves key order, so the table invariant holds
+    not_start = (~starts).astype(jnp.uint32)
+    _, k_hi, k_lo, pos = jax.lax.sort(
+        (not_start, words.hi, words.lo, idx), num_keys=1, is_stable=True)
     live = idx < n_unique
-    keys = U64(
-        jnp.where(live, words.hi[pos], 0).astype(jnp.uint32),
-        jnp.where(live, words.lo[pos], 0).astype(jnp.uint32),
-    )
-    counts = jnp.where(live, counts, 0)
+    counts = _counts_from_positions(pos, idx, n_unique, n_valid)
+    keys = U64(jnp.where(live, k_hi, 0), jnp.where(live, k_lo, 0))
     return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 
 
@@ -122,27 +138,20 @@ def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
     s, v, (w,) = sort_by_word(flat, valid.reshape(-1), weights.reshape(-1),
                               spare_hi_bit=max_k is not None and max_k <= 31)
-    n = s.lo.shape[-1]
-    prev = U64(jnp.roll(s.hi, 1), jnp.roll(s.lo, 1))
-    prev_valid = jnp.roll(v, 1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    starts = v & ((idx == 0) | u.ne(s, prev) | ~prev_valid)
-    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    n_unique = jnp.maximum(gid[-1] + 1, 0) * v.any().astype(jnp.int32)
-    gid_safe = jnp.clip(gid, 0, n - 1)
-    counts = jax.ops.segment_sum(jnp.where(v, w, 0), gid_safe, num_segments=n,
-                                 indices_are_sorted=True)
-    gid_for_min = jnp.where(v, gid_safe, n - 1)
-    first_pos = jnp.clip(
-        jax.ops.segment_min(idx, gid_for_min, num_segments=n,
-                            indices_are_sorted=True), 0, n - 1)
+    starts, idx = _run_starts(s, v)
+    n_unique = starts.sum(dtype=jnp.int32)
+    # run weight = difference of the exclusive weight prefix sum at
+    # consecutive run starts (same sort-compaction trick as count_sorted)
+    mw = jnp.where(v, w, 0)
+    csum = jnp.cumsum(mw)
+    csum_excl = csum - mw
+    not_start = (~starts).astype(jnp.uint32)
+    _, k_hi, k_lo, p_excl = jax.lax.sort(
+        (not_start, s.hi, s.lo, csum_excl), num_keys=1, is_stable=True)
     live = idx < n_unique
-    keys = U64(
-        jnp.where(live, s.hi[first_pos], 0).astype(jnp.uint32),
-        jnp.where(live, s.lo[first_pos], 0).astype(jnp.uint32),
-    )
-    return CountTable(keys=keys, counts=jnp.where(live, counts, 0),
-                      n_unique=n_unique)
+    counts = _counts_from_positions(p_excl, idx, n_unique, csum[-1])
+    keys = U64(jnp.where(live, k_hi, 0), jnp.where(live, k_lo, 0))
+    return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 
 
 def merge_tables(a: CountTable, b: CountTable) -> CountTable:
@@ -228,18 +237,14 @@ def count_words_wide(words: U128, valid: jnp.ndarray,
     prev_valid = jnp.roll(sv, 1)
     idx = jnp.arange(n, dtype=jnp.int32)
     starts = sv & ((idx == 0) | u128mod.ne(s, prev) | ~prev_valid)
-    gid = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    n_unique = jnp.maximum(gid[-1] + 1, 0) * sv.any().astype(jnp.int32)
-    gid_safe = jnp.clip(gid, 0, n - 1)
-    counts = jax.ops.segment_sum(sv.astype(jnp.int32), gid_safe,
-                                 num_segments=n, indices_are_sorted=True)
-    gid_for_min = jnp.where(sv, gid_safe, n - 1)
-    pos = jnp.clip(jax.ops.segment_min(idx, gid_for_min, num_segments=n,
-                                       indices_are_sorted=True),
-                   0, n - 1)
+    n_unique = starts.sum(dtype=jnp.int32)
+    n_valid = sv.sum(dtype=jnp.int32)
+    not_start = (~starts).astype(jnp.uint32)
+    _, khh, khl, klh, kll, pos = jax.lax.sort(
+        (not_start, s.hi.hi, s.hi.lo, s.lo.hi, s.lo.lo, idx),
+        num_keys=1, is_stable=True)
     live = idx < n_unique
-    take = lambda x: jnp.where(live, x[pos], 0).astype(jnp.uint32)
-    keys = U128(U64(take(s.hi.hi), take(s.hi.lo)),
-                U64(take(s.lo.hi), take(s.lo.lo)))
-    return CountTableWide(keys=keys, counts=jnp.where(live, counts, 0),
-                          n_unique=n_unique)
+    counts = _counts_from_positions(pos, idx, n_unique, n_valid)
+    zero = lambda x: jnp.where(live, x, 0)
+    keys = U128(U64(zero(khh), zero(khl)), U64(zero(klh), zero(kll)))
+    return CountTableWide(keys=keys, counts=counts, n_unique=n_unique)
