@@ -154,15 +154,25 @@ def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
     return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 
 
-def merge_tables(a: CountTable, b: CountTable) -> CountTable:
+def merge_tables(a: CountTable, b: CountTable,
+                 max_k: Optional[int] = None) -> CountTable:
     """Merge two count tables (capacity = cap_a + cap_b)."""
-    keys = U64(jnp.concatenate([a.keys.hi, b.keys.hi]),
-               jnp.concatenate([a.keys.lo, b.keys.lo]))
-    counts = jnp.concatenate([a.counts, b.counts])
-    idx = jnp.arange(counts.shape[-1], dtype=jnp.int32)
-    valid = (idx < a.n_unique) | (
-        (idx >= a.capacity) & (idx < a.capacity + b.n_unique))
-    return count_weighted(keys, valid, counts)
+    return merge_many([a, b], max_k=max_k)
+
+
+def merge_many(tables, max_k: Optional[int] = None) -> CountTable:
+    """Merge count tables (capacity = sum of capacities): one concat +
+    weighted re-count, so merging N tables at once costs one sort instead
+    of N-1 pairwise merge sorts."""
+    keys = U64(jnp.concatenate([t.keys.hi for t in tables]),
+               jnp.concatenate([t.keys.lo for t in tables]))
+    counts = jnp.concatenate([t.counts for t in tables])
+    valids = []
+    for t in tables:
+        idx = jnp.arange(t.capacity, dtype=jnp.int32)
+        valids.append(idx < t.n_unique)
+    valid = jnp.concatenate(valids)
+    return count_weighted(keys, valid, counts, max_k=max_k)
 
 
 def lookup(table: CountTable, queries: U64) -> jnp.ndarray:

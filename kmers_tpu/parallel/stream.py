@@ -3,12 +3,18 @@
 Real datasets do not fit one device call; this module folds a stream of
 [B, L] batches into a fixed-capacity device count table:
 
-  per batch:  count_reads (fused windows+canonical+sort+segment-sum)
-  merge:      concat + 3-key sort + run-length re-count (count_weighted),
-              then compact back to the fixed capacity.
+  per batch:    count_reads (fused windows+canonical+sort+count)
+  consolidate:  DEFERRED -- per-batch tables accumulate in a pending list
+                and are merged into the main table only every
+                `merge_every` batches (and before any read of the table):
+                one concat + weighted re-count + rank-evict.  Merging into
+                an 8M-entry table per 1M-k-mer batch would cost ~3x the
+                counting itself; deferring amortizes the big sort over
+                `merge_every` batches.
 
-Keys are kept sorted, so the merge is one sort of (capacity + batch) lanes
--- no scatter, no host round-trip of the table.
+Keys are kept sorted, so a consolidation is one sort of
+(capacity + merge_every * batch) lanes -- no scatter, no host round-trip
+of the table.
 
 Eviction policy (explicit, tested): if the merged table exceeds capacity,
 the LOWEST-COUNT entries are evicted first (the table keeps the heavy
@@ -42,10 +48,10 @@ from . import pipeline
 from .count import CountTable
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def _merge_bounded(table: CountTable, batch_table: CountTable,
-                   capacity: int):
-    merged = count_ops.merge_tables(table, batch_table)
+@functools.partial(jax.jit, static_argnames=("capacity", "max_k"))
+def _merge_bounded(table: CountTable, pending: tuple, capacity: int,
+                   max_k=None):
+    merged = count_ops.merge_many((table,) + tuple(pending), max_k=max_k)
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
     live = idx < merged.n_unique
     # rank by (dead last, count desc, key asc): the first `capacity` lanes
@@ -80,37 +86,68 @@ def _merge_bounded(table: CountTable, batch_table: CountTable,
 class StreamingCounter:
     """Fold read batches into one fixed-capacity canonical k-mer table."""
 
-    def __init__(self, k: int, capacity: int):
+    def __init__(self, k: int, capacity: int, merge_every: int = 16):
         if not (1 <= k <= 32):
             raise ValueError("StreamingCounter supports k <= 32; use the "
                              "wide pipeline for larger k")
         self.k = k
         self.capacity = capacity
+        self.merge_every = max(1, merge_every)
         self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
         z = jnp.zeros(capacity, dtype=jnp.uint32)
         self.table = CountTable(keys=U64(z, z),
                                 counts=jnp.zeros(capacity, jnp.int32),
                                 n_unique=jnp.int32(0))
+        self._pending = []
+        self._pending_kmers = []
         self.batches = 0
         self.kmers = 0
         self.dropped_unique = 0
         self.dropped_kmers = 0
 
     def update(self, reads: jnp.ndarray) -> None:
-        """Count one [B, L] uint8 batch and merge it in."""
+        """Count one [B, L] uint8 batch; consolidation is deferred until
+        `merge_every` batches are pending (or the table is read).
+
+        No device sync happens here: fetching even one scalar per batch
+        would serialize the stream on the host<->device round trip (over a
+        network-tunneled TPU that is the dominant cost).  Metric scalars
+        accumulate on device and are fetched at consolidation time."""
         res = self._count(jnp.asarray(reads))
-        self.table, du, dk = _merge_bounded(self.table, res.table,
-                                            self.capacity)
+        self._pending.append(res.table)
+        self._pending_kmers.append(res.metrics["kmers_emitted"])
         self.batches += 1
-        self.kmers += int(res.metrics["kmers_emitted"])
+        if len(self._pending) >= self.merge_every:
+            self._consolidate()
+
+    def _consolidate(self) -> None:
+        if not self._pending:
+            return
+        for km in self._pending_kmers:
+            self.kmers += int(km)
+        self._pending_kmers = []
+        pending = list(self._pending)
+        # pad to merge_every with empty same-shaped tables so every
+        # consolidation compiles to ONE executable (a partial final merge
+        # would otherwise cost a fresh multi-minute XLA compile on remote-
+        # compile relays)
+        caps = {t.capacity for t in pending}
+        if len(caps) == 1 and len(pending) < self.merge_every:
+            empty = jax.tree.map(jnp.zeros_like, pending[0])
+            pending += [empty] * (self.merge_every - len(pending))
+        self.table, du, dk = _merge_bounded(
+            self.table, tuple(pending), self.capacity, max_k=self.k)
+        self._pending = []
         self.dropped_unique += int(du)
         self.dropped_kmers += int(dk)
 
     def lookup(self, words: U64) -> jnp.ndarray:
+        self._consolidate()
         return count_ops.lookup(self.table, words)
 
     def to_pairs(self):
         """Host-side [(word, count)] of live slots (sorted by word)."""
+        self._consolidate()
         nu = int(self.table.n_unique)
         keys = u.to_numpy(self.table.keys)[:nu]
         counts = np.asarray(self.table.counts)[:nu]
@@ -119,6 +156,7 @@ class StreamingCounter:
     # -- checkpoint / resume --------------------------------------------------
 
     def save(self, path: str) -> None:
+        self._consolidate()
         np.savez(
             path,
             keys_hi=np.asarray(self.table.keys.hi, dtype="<u4"),

@@ -51,3 +51,40 @@ def test_cli_resume_k_mismatch(fasta, tmp_path):
     out = str(tmp_path / "t.npz")
     assert main(["count", path, "-k", "15", "-o", out]) == 0
     assert main(["count", path, "-k", "17", "-o", out, "--resume"]) == 2
+
+
+def test_cli_crash_resume_failure_injection(fasta, tmp_path, monkeypatch):
+    """Elastic-recovery path: a simulated crash mid-run (update() raises
+    after N batches) loses only un-checkpointed work; --resume from the
+    last checkpoint reproduces the uncrashed table exactly."""
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    path, _recs = fasta
+    clean_out = str(tmp_path / "clean.npz")
+    crash_out = str(tmp_path / "crash.npz")
+    args = ["-k", "15", "--batch", "4", "--length", "96",
+            "--checkpoint-every", "1", "--capacity", "4096"]
+    assert main(["count", path, "-o", clean_out] + args) == 0
+
+    calls = {"n": 0}
+    real_update = StreamingCounter.update
+
+    def flaky_update(self, reads):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected fault: host died mid-run")
+        return real_update(self, reads)
+
+    monkeypatch.setattr(StreamingCounter, "update", flaky_update)
+    with pytest.raises(RuntimeError, match="injected fault"):
+        main(["count", path, "-o", crash_out] + args)
+    monkeypatch.setattr(StreamingCounter, "update", real_update)
+
+    # the crash left a valid checkpoint of the first 2 batches
+    assert main(["count", path, "-o", crash_out, "--resume"] + args) == 0
+
+    import numpy as np
+
+    a, b = np.load(clean_out), np.load(crash_out)
+    for key in ("keys_hi", "keys_lo", "counts", "n_unique", "kmers"):
+        np.testing.assert_array_equal(a[key], b[key])

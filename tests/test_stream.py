@@ -53,9 +53,24 @@ def test_streaming_capacity_overflow_counted():
     _, arr = make_batch(8, 60)
     sc.update(arr)
     sc.update(make_batch(8, 60)[1])
+    # consolidation is deferred; drop accounting lands when the table is
+    # read (to_pairs/lookup/save all consolidate first)
+    sc.to_pairs()
     assert sc.dropped_unique > 0
     assert sc.dropped_kmers > 0
     assert int(sc.table.n_unique) <= 16
+
+
+def test_streaming_deferred_merge_matches_eager():
+    k = 15
+    batches = [make_batch(6, 50)[1] for _ in range(5)]
+    eager = StreamingCounter(k, capacity=4096, merge_every=1)
+    lazy = StreamingCounter(k, capacity=4096, merge_every=16)
+    for b in batches:
+        eager.update(b)
+        lazy.update(b)
+    assert eager.to_pairs() == lazy.to_pairs()
+    assert eager.kmers == lazy.kmers
 
 
 def test_checkpoint_resume(tmp_path):
