@@ -130,7 +130,7 @@ def main():
     rate = benchlib.chain_rate(cfg5, first_reads(B5, L5, 5),
                                B5 * (L5 - 31 + 1))
     emit("count_pipeline_k31", rate, "kmers/s",
-         "sort+segment-sum count table per batch; sharded path on CPU mesh")
+         "scatter-free sort+compact count table per batch; sharded path on CPU mesh")
 
 
 def length_matrix():
