@@ -33,6 +33,7 @@ def _cmd_count(args) -> int:
 
     if args.resume and os.path.exists(args.output):
         sc = StreamingCounter.load(args.output)
+        sc.merge_every = max(1, args.merge_every)
         if sc.k != args.k:
             print(f"error: checkpoint has k={sc.k}, requested k={args.k}",
                   file=sys.stderr)
@@ -41,7 +42,8 @@ def _cmd_count(args) -> int:
         print(f"resuming from {args.output}: {skip} batches, "
               f"{sc.kmers} kmers", file=sys.stderr)
     else:
-        sc = StreamingCounter(args.k, args.capacity)
+        sc = StreamingCounter(args.k, args.capacity,
+                              merge_every=args.merge_every)
         skip = 0
 
     t0 = time.time()
@@ -132,6 +134,9 @@ def main(argv=None) -> int:
     c.add_argument("--batch", type=int, default=256)
     c.add_argument("--length", type=int, default=256,
                    help="row length; long records are halo-chunked")
+    c.add_argument("--merge-every", type=int, default=16,
+                   help="consolidate pending batch tables every N batches "
+                        "(higher = fewer big merges, more device memory)")
     c.add_argument("--checkpoint-every", type=int, default=0,
                    help="save every N batches (enables --resume)")
     c.add_argument("--resume", action="store_true",
