@@ -36,33 +36,10 @@ import jax.numpy as jnp
 
 import benchlib
 from kmers_tpu.kernels import window as kwin
+from kmers_tpu.profiling import device_hbm_gbps as hbm_gbps
 
 K = 31
 B, L = 2048, 1024          # 2 MiB of ASCII; ~2.03M k-mer windows per call
-
-# Peak HBM bandwidth by TPU generation (GB/s).
-HBM_GBPS = {"v5e": 819.0, "v5litepod": 819.0, "v5lite": 819.0,
-            "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0, "v6lite": 1640.0}
-
-
-def hbm_gbps() -> float:
-    """Peak HBM bandwidth of device 0.  Fails loudly on an unknown TPU
-    rather than silently assuming a v5e denominator (a wrong peak makes
-    vs_baseline fiction).  KMERS_TPU_HBM_GBPS overrides."""
-    override = os.environ.get("KMERS_TPU_HBM_GBPS")
-    if override:
-        return float(override)
-    dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "").lower().replace(" ", "")
-    for key, bw in HBM_GBPS.items():
-        if key in kind:
-            return bw
-    if dev.platform == "tpu":
-        raise RuntimeError(
-            f"unknown TPU device_kind {dev.device_kind!r}: add its peak HBM "
-            f"GB/s to HBM_GBPS or set KMERS_TPU_HBM_GBPS")
-    # non-TPU (CPU smoke runs): vs_baseline is nominal-only there
-    return HBM_GBPS["v5e"]
 
 
 def step(reads):

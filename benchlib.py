@@ -12,7 +12,7 @@ Why this exists (hard-won, round 1 shipped broken numbers):
     whose carry derives iteration i+1's input from iteration i's output
     (serial dependency -- nothing elides, overlaps, or caches), fetch one
     dependent scalar, and take the SLOPE between two chain lengths
-    (default S=2 vs S=18).  RTT, dispatch, and the final-reduction cost are
+    (default S=8 vs S=264).  RTT, dispatch, and the final-reduction cost are
     identical in both chains and cancel; the slope is pure device time per
     iteration.
   * The probe scalar must be a FULL reduction of the carry: probing one

@@ -26,7 +26,7 @@ Reference semantics reproduced here (citations into /root/reference):
 from __future__ import annotations
 
 import dataclasses
-from enum import Enum
+from enum import IntEnum
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 MASK64 = (1 << 64) - 1
@@ -174,13 +174,16 @@ def mix_hash_state(seed: int = 0) -> HashState:
     return HashState(lambda w: mix_hash(w, seed))
 
 
-class Orientation(Enum):
+class Orientation(IntEnum):
+    # IntEnum = the serde analog: values serialize as plain ints through
+    # json/npz, mirroring the reference's serde derives
+    # (naive_impl/kmer.rs:18, canonical_kmer.rs:7)
     # sic: reference spells it "NotCanononical" (naive_impl/kmer.rs:18-22)
     IsCanonical = 0
     NotCanonical = 1
 
 
-class MatchType(Enum):
+class MatchType(IntEnum):
     NoMatch = 0
     IdentityMatch = 1
     TwinMatch = 2

@@ -141,15 +141,21 @@ def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
     starts, idx = _run_starts(s, v)
     n_unique = starts.sum(dtype=jnp.int32)
     # run weight = difference of the exclusive weight prefix sum at
-    # consecutive run starts (same sort-compaction trick as count_sorted)
-    mw = jnp.where(v, w, 0)
+    # consecutive run starts (same sort-compaction trick as count_sorted).
+    # The prefix sum is uint32 ON PURPOSE: total mass past 2^31 (human-
+    # genome scale) wraps, but each run weight is a DIFFERENCE of two
+    # prefix values, which is exact mod 2^32 -- so counts stay correct as
+    # long as every individual key's count < 2^31 (the int32 CountTable
+    # ceiling; dropped_kmers accounting shares it).
+    mw = jnp.where(v, w, 0).astype(jnp.uint32)
     csum = jnp.cumsum(mw)
     csum_excl = csum - mw
     not_start = (~starts).astype(jnp.uint32)
     _, k_hi, k_lo, p_excl = jax.lax.sort(
         (not_start, s.hi, s.lo, csum_excl), num_keys=1, is_stable=True)
     live = idx < n_unique
-    counts = _counts_from_positions(p_excl, idx, n_unique, csum[-1])
+    counts = _counts_from_positions(p_excl, idx, n_unique,
+                                    csum[-1]).astype(jnp.int32)
     keys = U64(jnp.where(live, k_hi, 0), jnp.where(live, k_lo, 0))
     return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 

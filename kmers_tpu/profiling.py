@@ -24,17 +24,33 @@ import jax
 
 #: peak HBM bandwidth by device kind substring (GB/s)
 HBM_GBPS = {"v5e": 819.0, "v5 lite": 819.0, "v5litepod": 819.0,
-            "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0}
+            "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0, "v6lite": 1640.0}
 
 
 def device_hbm_gbps(device=None) -> float:
+    """Peak HBM bandwidth of `device` (GB/s).
+
+    Fails loudly on an unknown TPU rather than silently assuming a v5e
+    denominator -- a wrong peak makes every roofline fraction fiction
+    (bench.py shares this implementation).  ``KMERS_TPU_HBM_GBPS``
+    overrides; non-TPU backends get the v5e figure as a nominal-only
+    number for CPU smoke runs."""
+    override = os.environ.get("KMERS_TPU_HBM_GBPS")
+    if override:
+        return float(override)
     dev = device or jax.devices()[0]
     kind = getattr(dev, "device_kind", "").lower().replace(" ", "")
     for key, bw in HBM_GBPS.items():
         if key.replace(" ", "") in kind:
             return bw
-    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
-    return HBM_GBPS.get(gen, 819.0)
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower().replace(" ", "")
+    if gen in HBM_GBPS:
+        return HBM_GBPS[gen]
+    if dev.platform == "tpu":
+        raise RuntimeError(
+            f"unknown TPU device_kind {dev.device_kind!r}: add its peak HBM "
+            f"GB/s to profiling.HBM_GBPS or set KMERS_TPU_HBM_GBPS")
+    return HBM_GBPS["v5e"]
 
 
 @contextlib.contextmanager
