@@ -137,6 +137,47 @@ def kmer_windows(ascii_u8: jnp.ndarray, k: int) -> KmerWindows:
     return KmerWindows(fw=fw, rc=rc, valid=wv, n_windows=n_win)
 
 
+# -- packed-input windows (device side of the packed ingest path) --------------
+
+def unpack_codes(words: jnp.ndarray, n_bases: int) -> jnp.ndarray:
+    """[.., L/16] uint32 code words -> per-base 2-bit codes [.., L].
+
+    Pure shift/mask lane work; XLA fuses it into the downstream
+    log-doubling, so windowing from packed input costs no extra HBM pass.
+    """
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = (words[..., :, None] >> shifts) & u.u32(3)
+    return codes.reshape(*words.shape[:-1], n_bases)
+
+
+def unpack_validbits(validbits: jnp.ndarray, n_bases: int) -> jnp.ndarray:
+    """[.., L/32] uint32 validity bitmaps (1 bit/base LSB-first) -> bool
+    [.., L]."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (validbits[..., :, None] >> shifts) & u.u32(1)
+    return bits.reshape(*validbits.shape[:-1], n_bases).astype(bool)
+
+
+def kmer_windows_packed(words: jnp.ndarray, validbits: jnp.ndarray,
+                        k: int) -> KmerWindows:
+    """kmer_windows over PACKED input: [B, L/16] uint32 code words +
+    [B, L/32] uint32 validity bitmaps (the read_packed_batches ingest
+    layout) instead of [B, L] ASCII -- 0.375 B/base of upload instead of 1.
+    """
+    L = words.shape[-1] * 16
+    assert L >= k
+    assert validbits.shape[-1] * 32 == L, (words.shape, validbits.shape)
+    codes = unpack_codes(words, L)
+    vmask = unpack_validbits(validbits, L)
+    fw = window_words(codes, k)
+    rc = reverse_complement(fw, k)
+    wv = window_valid(vmask, k)
+    n_win = L - k + 1
+    idx = jnp.arange(L, dtype=jnp.int32)
+    wv = wv & (idx < n_win)
+    return KmerWindows(fw=fw, rc=rc, valid=wv, n_windows=n_win)
+
+
 # -- rolling updates (API parity with naive_impl) ------------------------------
 
 def append_base(data: U64, b: jnp.ndarray, k: int) -> Tuple[U64, jnp.ndarray]:

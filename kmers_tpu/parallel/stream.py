@@ -94,6 +94,8 @@ class StreamingCounter:
         self.capacity = capacity
         self.merge_every = max(1, merge_every)
         self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
+        self._count_packed = jax.jit(
+            lambda w, v: pipeline.count_reads_packed(w, v, k))
         z = jnp.zeros(capacity, dtype=jnp.uint32)
         self.table = CountTable(keys=U64(z, z),
                                 counts=jnp.zeros(capacity, jnp.int32),
@@ -114,6 +116,16 @@ class StreamingCounter:
         network-tunneled TPU that is the dominant cost).  Metric scalars
         accumulate on device and are fetched at consolidation time."""
         res = self._count(jnp.asarray(reads))
+        self._absorb(res)
+
+    def update_packed(self, words, validbits) -> None:
+        """Count one packed batch ([B, L/16] code words + [B, L/32]
+        validity bitmaps, io.fastx.read_packed_batches layout).  Preferred
+        over `update`: ~2.7x less upload traffic per base."""
+        res = self._count_packed(jnp.asarray(words), jnp.asarray(validbits))
+        self._absorb(res)
+
+    def _absorb(self, res) -> None:
         self._pending.append(res.table)
         self._pending_kmers.append(res.metrics["kmers_emitted"])
         self.batches += 1
@@ -190,14 +202,25 @@ class StreamingCounter:
 
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
                 length: int = 256,
-                counter: Optional[StreamingCounter] = None
+                counter: Optional[StreamingCounter] = None,
+                packed: bool = True, prefetch_depth: int = 2
                 ) -> StreamingCounter:
     """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
-    long records).  Pass `counter` to resume from a checkpoint."""
+    long records).  Pass `counter` to resume from a checkpoint.
+
+    packed=True (default) ships 2-bit packed words + validity bitmaps to
+    the device (0.375 B/base vs 1 B/base ASCII) and parses batch i+1 on a
+    background thread while batch i uploads/computes.  Requires
+    length % 32 == 0; falls back to the ASCII path otherwise."""
     from ..io import fastx
 
     sc = counter if counter is not None else StreamingCounter(k, capacity)
-    for rows in fastx.read_kmer_batches(path, k=k, batch=batch,
-                                        length=length):
-        sc.update(rows)
+    if packed and length % 32 == 0:
+        it = fastx.read_packed_batches(path, k=k, batch=batch, length=length)
+        for words, validbits in fastx.prefetch(it, depth=prefetch_depth):
+            sc.update_packed(words, validbits)
+    else:
+        it = fastx.read_kmer_batches(path, k=k, batch=batch, length=length)
+        for rows in fastx.prefetch(it, depth=prefetch_depth):
+            sc.update(rows)
     return sc

@@ -31,6 +31,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdint>
+#include <vector>
 
 #include <zlib.h>
 
@@ -53,6 +54,10 @@ struct Reader {
     unsigned char carry[kMaxOverlap];
     long carry_len = 0;
     long long seq_total = 0;       // bases of current record seen so far
+
+    // scratch ASCII row for the packed batch path (parse into here, then
+    // 2-bit pack into the caller's word/bitmap buffers)
+    std::vector<unsigned char> rowbuf;
 
     // Refill buf from the (possibly compressed) stream.  Returns false at
     // EOF or on a decompression error (error flag set).
@@ -224,6 +229,58 @@ long long fastx_next_batch(void* handle, unsigned char* batch, long long B,
     return nrec;
 }
 
+namespace {
+
+// Fill ONE chunked row into dst (pre-filled with 'N' padding by the caller).
+// Returns 2 = row produced (*have_out set), 1 = halo-only row suppressed
+// (caller should retry), 0 = EOF, -1 = parse error (Reader error flag set).
+int next_chunked_row(Reader* r, unsigned char* dst, long long L,
+                     long long overlap, long* have_out) {
+    long have = 0;
+    if (!r->in_record) {
+        int c = r->peek();
+        if (c < 0) return 0;
+        int head = r->format == 1 ? '>' : '@';
+        if (c != head) { r->error = true; return -1; }
+        r->skip_line();
+        r->seq_total = 0;
+        r->carry_len = 0;
+    } else {
+        memcpy(dst, r->carry, r->carry_len);
+        have = r->carry_len;
+    }
+    // fill the row from sequence lines
+    bool ended = false;
+    while (have < L) {
+        if (at_seq_end(r)) { ended = true; break; }
+        bool done;
+        have = fill_from_line(r, dst, (long)L, have, &done);
+    }
+    long fresh = have - (r->in_record ? r->carry_len : 0);
+    r->seq_total += fresh;
+    if (!ended && at_seq_end(r)) ended = true;
+    if (ended) {
+        if (r->format == 2 && !skip_quality(r)) {
+            r->error = true;
+            return -1;
+        }
+        r->in_record = false;
+        r->records++;
+        // suppress halo-only rows: if this row holds only the carry
+        // (no fresh bases) it contains no new k-window; skip it
+        if (r->carry_len > 0 && fresh == 0) return 1;
+    } else {
+        // row full, record continues: stash the last `overlap` bases
+        memcpy(r->carry, dst + (L - overlap), overlap);
+        r->carry_len = (long)overlap;
+        r->in_record = true;
+    }
+    *have_out = have;
+    return 2;
+}
+
+}  // namespace
+
 // Chunked: long records split into rows with `overlap`-base halo; chunk
 // state persists across calls.  lengths[] receives per-ROW base counts
 // (always <= L).  Returns rows delivered; 0 at EOF; -1 on error.
@@ -235,47 +292,61 @@ long long fastx_next_batch_chunked(void* handle, unsigned char* batch,
     if (overlap < 0 || overlap >= L || overlap > kMaxOverlap) return -1;
     long long nrow = 0;
     while (nrow < B) {
-        unsigned char* dst = batch + nrow * L;
-        long have = 0;
-        if (!r->in_record) {
-            int c = r->peek();
-            if (c < 0) break;
-            int head = r->format == 1 ? '>' : '@';
-            if (c != head) { r->error = true; return -1; }
-            r->skip_line();
-            r->seq_total = 0;
-            r->carry_len = 0;
-        } else {
-            memcpy(dst, r->carry, r->carry_len);
-            have = r->carry_len;
-        }
-        // fill the row from sequence lines
-        bool ended = false;
-        while (have < L) {
-            if (at_seq_end(r)) { ended = true; break; }
-            bool done;
-            have = fill_from_line(r, dst, (long)L, have, &done);
-        }
-        long fresh = have - (r->in_record ? r->carry_len : 0);
-        r->seq_total += fresh;
-        if (!ended && at_seq_end(r)) ended = true;
-        if (ended) {
-            if (r->format == 2 && !skip_quality(r)) {
-                r->error = true;
-                return -1;
+        long have;
+        int s = next_chunked_row(r, batch + nrow * L, L, overlap, &have);
+        if (s < 0) return -1;
+        if (s == 0) break;
+        if (s == 1) continue;
+        lengths[nrow] = have;
+        nrow++;
+    }
+    return nrow;
+}
+
+// Chunked + fused 2-bit pack: same row semantics as
+// fastx_next_batch_chunked, but rows are delivered PACKED -- per row,
+// L/16 uint32 code words (16 bases/word, LSB-first, A=0 C=1 G=2 T=3) and
+// L/32 uint32 validity words (1 bit/base, LSB-first; 'N'/padding = 0).
+// This is the device-upload ingest path: 0.375 B/base instead of 1 B/base
+// of ASCII through the host->device tunnel.  Requires L % 32 == 0.
+long long fastx_next_batch_chunked_packed(void* handle, uint32_t* words,
+                                          uint32_t* validbits, long long B,
+                                          long long L, long long overlap,
+                                          long long* lengths) {
+    Reader* r = (Reader*)handle;
+    if (!r || r->error) return -1;
+    if (overlap < 0 || overlap >= L || overlap > kMaxOverlap) return -1;
+    if (L % 32 != 0) return -1;
+    const long long wpr = L / 16;   // code words per row
+    const long long vpr = L / 32;   // validity words per row
+    r->rowbuf.resize((size_t)L);
+    long long nrow = 0;
+    while (nrow < B) {
+        memset(r->rowbuf.data(), 'N', (size_t)L);
+        long have;
+        int s = next_chunked_row(r, r->rowbuf.data(), L, overlap, &have);
+        if (s < 0) return -1;
+        if (s == 0) break;
+        if (s == 1) continue;
+        uint32_t* wrow = words + nrow * wpr;
+        uint32_t* vrow = validbits + nrow * vpr;
+        memset(vrow, 0, (size_t)vpr * 4);
+        const unsigned char* src = r->rowbuf.data();
+        for (long long w = 0; w < wpr; ++w) {
+            uint32_t acc = 0;
+            const unsigned char* p = src + w * 16;
+            uint32_t vbits = 0;
+            for (int i = 0; i < 16; ++i) {
+                unsigned char ch = p[i] | 0x20;  // lowercase
+                uint32_t internal = (ch >> 1) & 3;
+                uint32_t code = internal ^ (internal >> 1);
+                bool ok = (ch == 'a') | (ch == 'c') | (ch == 'g') |
+                          (ch == 't');
+                acc |= (ok ? code : 0u) << (i * 2);
+                vbits |= (ok ? 1u : 0u) << i;
             }
-            r->in_record = false;
-            r->records++;
-            // suppress halo-only rows: if this row holds only the carry
-            // (no fresh bases) it contains no new k-window; skip it
-            if (r->carry_len > 0 && fresh == 0) {
-                continue;
-            }
-        } else {
-            // row full, record continues: stash the last `overlap` bases
-            memcpy(r->carry, dst + (L - overlap), overlap);
-            r->carry_len = (long)overlap;
-            r->in_record = true;
+            wrow[w] = acc;
+            vrow[w >> 1] |= vbits << ((w & 1) * 16);
         }
         lengths[nrow] = have;
         nrow++;

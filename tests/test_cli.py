@@ -67,18 +67,20 @@ def test_cli_crash_resume_failure_injection(fasta, tmp_path, monkeypatch):
     assert main(["count", path, "-o", clean_out] + args) == 0
 
     calls = {"n": 0}
-    real_update = StreamingCounter.update
+    # _absorb is shared by update and update_packed, so the fault fires on
+    # both the ASCII and the (default) packed ingest path
+    real_absorb = StreamingCounter._absorb
 
-    def flaky_update(self, reads):
+    def flaky_absorb(self, res):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("injected fault: host died mid-run")
-        return real_update(self, reads)
+        return real_absorb(self, res)
 
-    monkeypatch.setattr(StreamingCounter, "update", flaky_update)
+    monkeypatch.setattr(StreamingCounter, "_absorb", flaky_absorb)
     with pytest.raises(RuntimeError, match="injected fault"):
         main(["count", path, "-o", crash_out] + args)
-    monkeypatch.setattr(StreamingCounter, "update", real_update)
+    monkeypatch.setattr(StreamingCounter, "_absorb", real_absorb)
 
     # the crash left a valid checkpoint of the first 2 batches
     assert main(["count", path, "-o", crash_out, "--resume"] + args) == 0

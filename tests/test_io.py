@@ -176,3 +176,65 @@ def test_pack2bit_native_matches_seqvector():
             got = (int(words[i // 16]) >> ((i % 16) * 2)) & 3
             want = (int(ref_words[i // 16]) >> ((i % 16) * 2)) & 3
             assert got == want
+
+
+@pytest.mark.parametrize("fmt", ["fasta", "fastq"])
+@pytest.mark.parametrize("force_python", [False, True])
+def test_packed_batches_match_ascii_pack(tmp_path, fmt, force_python):
+    """read_packed_batches == pack_batch_np(read_kmer_batches): the native
+    fused parse+pack delivers bit-identical words/bitmaps to packing the
+    ASCII rows, including halo-chunked long records and padding rows."""
+    if not force_python and not fastx.native_available():
+        pytest.skip("native lib not built")
+    records = [rand_seq(RNG.randrange(1, 120)) for _ in range(23)]
+    records.append(rand_seq(900))  # long record: chunked with halo
+    p = str(tmp_path / f"reads.{fmt}")
+    (write_fasta if fmt == "fasta" else write_fastq)(p, records)
+    k, B, L = 21, 8, 96
+    ascii_batches = list(fastx.read_kmer_batches(
+        p, k=k, batch=B, length=L, force_python=force_python))
+    packed_batches = list(fastx.read_packed_batches(
+        p, k=k, batch=B, length=L, force_python=force_python))
+    assert len(ascii_batches) == len(packed_batches)
+    for rows, (w, v) in zip(ascii_batches, packed_batches):
+        ew, ev = fastx.pack_batch_np(rows)
+        assert np.array_equal(w, ew)
+        assert np.array_equal(v, ev)
+
+
+def test_packed_batches_gzip_matches_plain(tmp_path):
+    import gzip
+
+    records = [rand_seq(RNG.randrange(1, 200)) for _ in range(19)]
+    plain = str(tmp_path / "reads.fasta")
+    write_fasta(plain, records)
+    gz = str(tmp_path / "reads.fasta.gz")
+    with open(plain, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    a = list(fastx.read_packed_batches(plain, k=15, batch=8, length=64))
+    b = list(fastx.read_packed_batches(gz, k=15, batch=8, length=64))
+    assert len(a) == len(b)
+    for (w1, v1), (w2, v2) in zip(a, b):
+        assert np.array_equal(w1, w2) and np.array_equal(v1, v2)
+
+
+def test_packed_batches_rejects_bad_length(tmp_path):
+    p = str(tmp_path / "reads.fasta")
+    write_fasta(p, [rand_seq(50)])
+    with pytest.raises(AssertionError):
+        list(fastx.read_packed_batches(p, k=15, batch=4, length=40))
+
+
+def test_prefetch_order_and_error_propagation():
+    assert list(fastx.prefetch(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("parse error")
+
+    it = fastx.prefetch(boom())
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="parse error"):
+        next(it)

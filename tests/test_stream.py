@@ -165,3 +165,20 @@ def test_eviction_tie_breaks_toward_large_keys():
         words.append(km.get_canonical_word())
     assert [w for w, _ in pairs] == sorted(words)[:2]
     assert sc.dropped_unique == 1
+
+
+def test_count_fastx_packed_matches_ascii(tmp_path):
+    """The packed-ingest pipeline (update_packed) produces the identical
+    table to the ASCII path, N-handling and halo chunking included."""
+    k = 19
+    records = [rand_seq(RNG.randrange(25, 260)) for _ in range(20)]
+    records.append(rand_seq(700))
+    p = str(tmp_path / "reads.fastq")
+    with open(p, "wb") as f:
+        for i, r in enumerate(records):
+            f.write(b"@r%d\n" % i + r + b"\n+\n" + b"I" * len(r) + b"\n")
+    sc_p = count_fastx(p, k, capacity=8192, batch=8, length=96, packed=True)
+    sc_a = count_fastx(p, k, capacity=8192, batch=8, length=96, packed=False)
+    assert sc_p.to_pairs() == sc_a.to_pairs()
+    assert sc_p.kmers == sc_a.kmers
+    assert sc_p.to_pairs() == oracle_counts(records, k)
