@@ -88,6 +88,7 @@ def _cmd_query(args) -> int:
     import numpy as np
 
     from .core import u64 as u
+    from .core import u128 as u128mod
     from .oracle import numpy_ref as o
     from .parallel.stream import StreamingCounter
 
@@ -100,15 +101,24 @@ def _cmd_query(args) -> int:
             bad = True
             continue
         try:
-            fw = o.word_from_bytes(q.upper().encode())
+            if sc.wide:
+                fw = o.word_from_bytes_wide(q.upper().encode())
+                canon = o.canonical_wide(fw, sc.k)
+            else:
+                fw = o.word_from_bytes(q.upper().encode())
+                canon = min(fw, o.reverse_complement_word(fw, sc.k))
         except ValueError:
             print(f"error: '{q}' contains non-ACGT characters",
                   file=sys.stderr)
             bad = True
             continue
-        words.append((q, min(fw, o.reverse_complement_word(fw, sc.k))))
+        words.append((q, canon))
     if words:
-        qa = u.from_numpy(np.array([w for _, w in words], dtype=np.uint64))
+        if sc.wide:
+            qa = u128mod.from_python_ints([w for _, w in words])
+        else:
+            qa = u.from_numpy(np.array([w for _, w in words],
+                                       dtype=np.uint64))
         counts = np.asarray(sc.lookup(qa))
         for (q, _), c in zip(words, counts):
             print(f"{q}\t{int(c)}")
@@ -142,7 +152,8 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("count", help="count canonical k-mers of a file")
     c.add_argument("input", help="FASTA/FASTQ path")
-    c.add_argument("-k", type=int, required=True, help="k-mer length (<=32)")
+    c.add_argument("-k", type=int, required=True,
+                   help="k-mer length (1..64; k > 32 uses 128-bit keys)")
     c.add_argument("-o", "--output", required=True, help="output .npz table")
     c.add_argument("--capacity", type=int, default=1 << 22,
                    help="max distinct kmers (default 4M)")

@@ -313,6 +313,24 @@ def kmer_windows_wide(ascii_u8: jnp.ndarray, k: int) -> KmerWindowsWide:
     return KmerWindowsWide(fw=fw, rc=rc, valid=wv, n_windows=n_win)
 
 
+def kmer_windows_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
+                             k: int) -> KmerWindowsWide:
+    """kmer_windows_wide over PACKED ingest batches (same layout as
+    kmer_windows_packed; 33 <= k <= 64)."""
+    L = words.shape[-1] * 16
+    assert L >= k
+    assert validbits.shape[-1] * 32 == L, (words.shape, validbits.shape)
+    codes = unpack_codes(words, L)
+    vmask = unpack_validbits(validbits, L)
+    fw = window_words_wide(codes, k)
+    rc = u128mod.reverse_complement(fw, k)
+    wv = window_valid(vmask, k)
+    n_win = L - k + 1
+    idx = jnp.arange(L, dtype=jnp.int32)
+    wv = wv & (idx < n_win)
+    return KmerWindowsWide(fw=fw, rc=rc, valid=wv, n_windows=n_win)
+
+
 def append_base_wide(data: U128, b: jnp.ndarray, k: int):
     """Rolling append for the wide path (shift right, insert at base k-1)."""
     assert 33 <= k <= 64

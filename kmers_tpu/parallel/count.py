@@ -221,46 +221,135 @@ class CountTableWide(NamedTuple):
         return self.counts.shape[-1]
 
 
-def count_words_wide(words: U128, valid: jnp.ndarray,
-                     max_k: Optional[int] = None) -> CountTableWide:
-    """Sort + count 128-bit keys: 5-key lexicographic sort
-    (invalid, hi.hi, hi.lo, lo.hi, lo.lo) then run-length counting.
-
-    max_k <= 63 folds the invalid flag into the structurally-spare bit 31
-    of hi.hi (hi.hi holds at most 2k-96 <= 30 bits): 4 sort operands
-    instead of 6, valid reconstructed as lane < n_valid."""
-    flat = U128(
+def _flatten_wide(words: U128) -> U128:
+    return U128(
         U64(words.hi.hi.reshape(-1), words.hi.lo.reshape(-1)),
         U64(words.lo.hi.reshape(-1), words.lo.lo.reshape(-1)))
+
+
+def sort_by_word_wide(words: U128, valid: jnp.ndarray, *extras,
+                      spare_hi_bit: bool = False):
+    """Stable sort lanes by ((~valid), key128).  Returns (words, valid,
+    extras) reordered; invalid lanes last.
+
+    spare_hi_bit=True (safe for k <= 63): hi.hi holds at most 2k-96 <= 30
+    bits, so the invalid flag folds into its bit 31 -- 4 sort operands
+    instead of 6, valid reconstructed as lane < n_valid (mirror of
+    sort_by_word's k <= 31 optimization)."""
+    flat = _flatten_wide(words)
     v = valid.reshape(-1)
     n = v.shape[-1]
-    if max_k is not None and max_k <= 63:
+    if spare_hi_bit:
         flag = jnp.where(v, jnp.uint32(0), jnp.uint32(1) << 31)
         out = jax.lax.sort(
-            (flat.hi.hi | flag, flat.hi.lo, flat.lo.hi, flat.lo.lo),
+            (flat.hi.hi | flag, flat.hi.lo, flat.lo.hi, flat.lo.lo)
+            + tuple(extras),
             num_keys=4, is_stable=True)
         s = U128(U64(out[0] & jnp.uint32(0x7FFFFFFF), out[1]),
                  U64(out[2], out[3]))
         sv = jnp.arange(n, dtype=jnp.int32) < v.sum(dtype=jnp.int32)
-    else:
-        invalid_key = (~v).astype(jnp.uint32)
-        out = jax.lax.sort(
-            (invalid_key, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
-            num_keys=5, is_stable=True)
-        s = U128(U64(out[1], out[2]), U64(out[3], out[4]))
-        sv = out[5]
+        return s, sv, out[4:]
+    invalid_key = (~v).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (invalid_key, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v)
+        + tuple(extras),
+        num_keys=5, is_stable=True)
+    return U128(U64(out[1], out[2]), U64(out[3], out[4])), out[5], out[6:]
+
+
+def _run_starts_wide(s: U128, sv: jnp.ndarray):
+    n = sv.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
     prev = jax.tree.map(lambda x: jnp.roll(x, 1), s)
     prev_valid = jnp.roll(sv, 1)
-    idx = jnp.arange(n, dtype=jnp.int32)
     starts = sv & ((idx == 0) | u128mod.ne(s, prev) | ~prev_valid)
-    n_unique = starts.sum(dtype=jnp.int32)
-    n_valid = sv.sum(dtype=jnp.int32)
+    return starts, idx
+
+
+def _compact_wide(s: U128, starts: jnp.ndarray, idx: jnp.ndarray,
+                  n_unique: jnp.ndarray, pos_payload: jnp.ndarray,
+                  last_total: jnp.ndarray) -> CountTableWide:
+    """Stable-compact run-start lanes to the front, derive counts from
+    consecutive compacted position payloads (shared by plain/weighted)."""
     not_start = (~starts).astype(jnp.uint32)
     _, khh, khl, klh, kll, pos = jax.lax.sort(
-        (not_start, s.hi.hi, s.hi.lo, s.lo.hi, s.lo.lo, idx),
+        (not_start, s.hi.hi, s.hi.lo, s.lo.hi, s.lo.lo, pos_payload),
         num_keys=1, is_stable=True)
     live = idx < n_unique
-    counts = _counts_from_positions(pos, idx, n_unique, n_valid)
+    counts = _counts_from_positions(pos, idx, n_unique,
+                                    last_total).astype(jnp.int32)
     zero = lambda x: jnp.where(live, x, 0)
     keys = U128(U64(zero(khh), zero(khl)), U64(zero(klh), zero(kll)))
     return CountTableWide(keys=keys, counts=counts, n_unique=n_unique)
+
+
+def count_words_wide(words: U128, valid: jnp.ndarray,
+                     max_k: Optional[int] = None) -> CountTableWide:
+    """Sort + count 128-bit keys: lexicographic sort then run-length
+    counting (see sort_by_word_wide for the max_k <= 63 spare-bit trick)."""
+    s, sv, _ = sort_by_word_wide(words, valid,
+                                 spare_hi_bit=max_k is not None
+                                 and max_k <= 63)
+    starts, idx = _run_starts_wide(s, sv)
+    n_unique = starts.sum(dtype=jnp.int32)
+    n_valid = sv.sum(dtype=jnp.int32)
+    return _compact_wide(s, starts, idx, n_unique, idx, n_valid)
+
+
+def count_weighted_wide(words: U128, valid: jnp.ndarray,
+                        weights: jnp.ndarray,
+                        max_k: Optional[int] = None) -> CountTableWide:
+    """count_words_wide with per-lane int32 weights (table merging).  Same
+    uint32 wraparound-difference prefix-sum invariant as count_weighted."""
+    s, sv, (w,) = sort_by_word_wide(words, valid, weights.reshape(-1),
+                                    spare_hi_bit=max_k is not None
+                                    and max_k <= 63)
+    starts, idx = _run_starts_wide(s, sv)
+    n_unique = starts.sum(dtype=jnp.int32)
+    mw = jnp.where(sv, w, 0).astype(jnp.uint32)
+    csum = jnp.cumsum(mw)
+    return _compact_wide(s, starts, idx, n_unique, csum - mw, csum[-1])
+
+
+def merge_many_wide(tables, max_k: Optional[int] = None) -> CountTableWide:
+    """Merge wide count tables (capacity = sum of capacities): one concat
+    + weighted re-count (mirror of merge_many)."""
+    keys = U128(
+        U64(jnp.concatenate([t.keys.hi.hi for t in tables]),
+            jnp.concatenate([t.keys.hi.lo for t in tables])),
+        U64(jnp.concatenate([t.keys.lo.hi for t in tables]),
+            jnp.concatenate([t.keys.lo.lo for t in tables])))
+    counts = jnp.concatenate([t.counts for t in tables])
+    valids = []
+    for t in tables:
+        idx = jnp.arange(t.capacity, dtype=jnp.int32)
+        valids.append(idx < t.n_unique)
+    return count_weighted_wide(keys, jnp.concatenate(valids), counts,
+                               max_k=max_k)
+
+
+def merge_tables_wide(a: CountTableWide, b: CountTableWide,
+                      max_k: Optional[int] = None) -> CountTableWide:
+    return merge_many_wide([a, b], max_k=max_k)
+
+
+def lookup_wide(table: CountTableWide, queries: U128) -> jnp.ndarray:
+    """Count of each 128-bit query word (0 if absent): branch-free binary
+    search over the sorted key region (mirror of lookup)."""
+    cap = table.capacity
+    lo_idx = jnp.zeros(queries.lo.lo.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(queries.lo.lo.shape, cap, dtype=jnp.int32)
+    for _ in range(max(1, cap.bit_length())):
+        mid = (lo_idx + hi_idx) // 2
+        mid_c = jnp.clip(mid, 0, cap - 1)
+        mk = U128(U64(table.keys.hi.hi[mid_c], table.keys.hi.lo[mid_c]),
+                  U64(table.keys.lo.hi[mid_c], table.keys.lo.lo[mid_c]))
+        in_range = mid < table.n_unique
+        key_lt_query = in_range & u128mod.lt(mk, queries)
+        lo_idx = jnp.where(key_lt_query, mid + 1, lo_idx)
+        hi_idx = jnp.where(key_lt_query, hi_idx, mid)
+    found = jnp.clip(lo_idx, 0, cap - 1)
+    fk = U128(U64(table.keys.hi.hi[found], table.keys.hi.lo[found]),
+              U64(table.keys.lo.hi[found], table.keys.lo.lo[found]))
+    hit = (lo_idx < table.n_unique) & u128mod.eq(fk, queries)
+    return jnp.where(hit, table.counts[found], 0)

@@ -200,6 +200,22 @@ def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
     return CountResult(table=table, metrics=metrics)
 
 
+def count_reads_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
+                            k: int) -> CountResult:
+    """count_reads_wide over packed ingest batches (33 <= k <= 64)."""
+    win = kmer_ops.kmer_windows_packed_wide(words, validbits, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    table = count_ops.count_words_wide(canon, win.valid, max_k=k)
+    metrics = {
+        "reads": jnp.int32(words.shape[0]),
+        "kmers_emitted": win.valid.sum().astype(jnp.int32),
+        "windows_skipped":
+            jnp.int32(words.shape[0] * win.n_windows)
+            - win.valid.sum().astype(jnp.int32),
+    }
+    return CountResult(table=table, metrics=metrics)
+
+
 def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
                              seed: int, axis: str, passes: int) -> CountResult:
     canon, valid = canonical_kmers_wide(reads_local, k)

@@ -42,10 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import u64 as u
+from ..core import u128 as u128mod
 from ..core.u64 import U64
+from ..core.u128 import U128
 from . import count as count_ops
 from . import pipeline
-from .count import CountTable
+from .count import CountTable, CountTableWide
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "max_k"))
@@ -83,23 +85,75 @@ def _merge_bounded(table: CountTable, pending: tuple, capacity: int,
     return out, dropped_unique.astype(jnp.int32), dropped_kmers.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "max_k"))
+def _merge_bounded_wide(table: CountTableWide, pending: tuple, capacity: int,
+                        max_k=None):
+    """_merge_bounded for 128-bit keys (33 <= k <= 64): same eviction policy
+    (lowest count first, ties evict largest keys), 4 key words per lane."""
+    merged = count_ops.merge_many_wide((table,) + tuple(pending),
+                                       max_k=max_k)
+    idx = jnp.arange(merged.capacity, dtype=jnp.int32)
+    live = idx < merged.n_unique
+    maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
+    dead = (~live).astype(jnp.uint32)
+    inv_count = jnp.where(live, maxi - merged.counts, maxi)
+    mk = merged.keys
+    _, _, r_hh, r_hl, r_lh, r_ll, r_cnt = jax.lax.sort(
+        (dead, inv_count, mk.hi.hi, mk.hi.lo, mk.lo.hi, mk.lo.lo,
+         merged.counts),
+        num_keys=6, is_stable=True)
+    dropped_unique = jnp.maximum(merged.n_unique - capacity, 0)
+    dropped_kmers = jnp.where(idx >= capacity,
+                              jnp.where(idx < merged.n_unique, r_cnt, 0),
+                              0).sum()
+    kept_live = idx[:capacity] < jnp.minimum(merged.n_unique, capacity)
+    k_dead = (~kept_live).astype(jnp.uint32)
+    _, s_hh, s_hl, s_lh, s_ll, s_cnt = jax.lax.sort(
+        (k_dead, r_hh[:capacity], r_hl[:capacity], r_lh[:capacity],
+         r_ll[:capacity], r_cnt[:capacity]),
+        num_keys=5, is_stable=True)
+    n_kept = jnp.minimum(merged.n_unique, capacity)
+    kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
+    z = lambda x: jnp.where(kept, x, 0)
+    out = CountTableWide(
+        keys=U128(U64(z(s_hh), z(s_hl)), U64(z(s_lh), z(s_ll))),
+        counts=z(s_cnt), n_unique=n_kept)
+    return (out, dropped_unique.astype(jnp.int32),
+            dropped_kmers.astype(jnp.int32))
+
+
 class StreamingCounter:
-    """Fold read batches into one fixed-capacity canonical k-mer table."""
+    """Fold read batches into one fixed-capacity canonical k-mer table.
+
+    k <= 32 keys are one u64 (2xu32 lanes); 33 <= k <= 64 switches the
+    whole stack -- windows, canonical, sort, merge, eviction, lookup,
+    checkpoint -- to 128-bit keys (4xu32 lanes), matching the reference's
+    multi-word reach (kmer.rs:12-14, k=65 u128 vectors at naive.rs:419-445).
+    """
 
     def __init__(self, k: int, capacity: int, merge_every: int = 16):
-        if not (1 <= k <= 32):
-            raise ValueError("StreamingCounter supports k <= 32; use the "
-                             "wide pipeline for larger k")
+        if not (1 <= k <= 64):
+            raise ValueError("StreamingCounter supports 1 <= k <= 64")
         self.k = k
+        self.wide = k > 32
         self.capacity = capacity
         self.merge_every = max(1, merge_every)
-        self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
-        self._count_packed = jax.jit(
-            lambda w, v: pipeline.count_reads_packed(w, v, k))
         z = jnp.zeros(capacity, dtype=jnp.uint32)
-        self.table = CountTable(keys=U64(z, z),
-                                counts=jnp.zeros(capacity, jnp.int32),
-                                n_unique=jnp.int32(0))
+        if self.wide:
+            self._count = jax.jit(lambda a: pipeline.count_reads_wide(a, k))
+            self._count_packed = jax.jit(
+                lambda w, v: pipeline.count_reads_packed_wide(w, v, k))
+            self.table = CountTableWide(
+                keys=U128(U64(z, z), U64(z, z)),
+                counts=jnp.zeros(capacity, jnp.int32),
+                n_unique=jnp.int32(0))
+        else:
+            self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
+            self._count_packed = jax.jit(
+                lambda w, v: pipeline.count_reads_packed(w, v, k))
+            self.table = CountTable(keys=U64(z, z),
+                                    counts=jnp.zeros(capacity, jnp.int32),
+                                    n_unique=jnp.int32(0))
         self._pending = []
         self._pending_kmers = []
         self.batches = 0
@@ -147,32 +201,47 @@ class StreamingCounter:
         if len(caps) == 1 and len(pending) < self.merge_every:
             empty = jax.tree.map(jnp.zeros_like, pending[0])
             pending += [empty] * (self.merge_every - len(pending))
-        self.table, du, dk = _merge_bounded(
+        merge = _merge_bounded_wide if self.wide else _merge_bounded
+        self.table, du, dk = merge(
             self.table, tuple(pending), self.capacity, max_k=self.k)
         self._pending = []
         self.dropped_unique += int(du)
         self.dropped_kmers += int(dk)
 
-    def lookup(self, words: U64) -> jnp.ndarray:
+    def lookup(self, words) -> jnp.ndarray:
+        """Counts for query words: U64 (k <= 32) or U128 (k > 32)."""
         self._consolidate()
+        if self.wide:
+            return count_ops.lookup_wide(self.table, words)
         return count_ops.lookup(self.table, words)
 
     def to_pairs(self):
         """Host-side [(word, count)] of live slots (sorted by word)."""
         self._consolidate()
         nu = int(self.table.n_unique)
-        keys = u.to_numpy(self.table.keys)[:nu]
+        if self.wide:
+            keys = u128mod.to_python_ints(self.table.keys)[:nu]
+        else:
+            keys = [int(x) for x in u.to_numpy(self.table.keys)[:nu]]
         counts = np.asarray(self.table.counts)[:nu]
-        return [(int(a), int(b)) for a, b in zip(keys, counts)]
+        return [(a, int(b)) for a, b in zip(keys, counts)]
 
     # -- checkpoint / resume --------------------------------------------------
 
     def save(self, path: str) -> None:
         self._consolidate()
+        if self.wide:
+            key_arrays = dict(
+                keys_hi_hi=np.asarray(self.table.keys.hi.hi, dtype="<u4"),
+                keys_hi_lo=np.asarray(self.table.keys.hi.lo, dtype="<u4"),
+                keys_lo_hi=np.asarray(self.table.keys.lo.hi, dtype="<u4"),
+                keys_lo_lo=np.asarray(self.table.keys.lo.lo, dtype="<u4"))
+        else:
+            key_arrays = dict(
+                keys_hi=np.asarray(self.table.keys.hi, dtype="<u4"),
+                keys_lo=np.asarray(self.table.keys.lo, dtype="<u4"))
         np.savez(
             path,
-            keys_hi=np.asarray(self.table.keys.hi, dtype="<u4"),
-            keys_lo=np.asarray(self.table.keys.lo, dtype="<u4"),
             counts=np.asarray(self.table.counts, dtype="<i4"),
             n_unique=np.int64(int(self.table.n_unique)),
             k=np.int64(self.k),
@@ -181,18 +250,27 @@ class StreamingCounter:
             kmers=np.int64(self.kmers),
             dropped_unique=np.int64(self.dropped_unique),
             dropped_kmers=np.int64(self.dropped_kmers),
+            **key_arrays,
         )
 
     @staticmethod
     def load(path: str) -> "StreamingCounter":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         sc = StreamingCounter(int(z["k"]), int(z["capacity"]))
-        sc.table = CountTable(
-            keys=U64(jnp.asarray(z["keys_hi"].astype(np.uint32)),
-                     jnp.asarray(z["keys_lo"].astype(np.uint32))),
-            counts=jnp.asarray(z["counts"].astype(np.int32)),
-            n_unique=jnp.int32(int(z["n_unique"])),
-        )
+        j32 = lambda name: jnp.asarray(z[name].astype(np.uint32))
+        if sc.wide:
+            sc.table = CountTableWide(
+                keys=U128(U64(j32("keys_hi_hi"), j32("keys_hi_lo")),
+                          U64(j32("keys_lo_hi"), j32("keys_lo_lo"))),
+                counts=jnp.asarray(z["counts"].astype(np.int32)),
+                n_unique=jnp.int32(int(z["n_unique"])),
+            )
+        else:
+            sc.table = CountTable(
+                keys=U64(j32("keys_hi"), j32("keys_lo")),
+                counts=jnp.asarray(z["counts"].astype(np.int32)),
+                n_unique=jnp.int32(int(z["n_unique"])),
+            )
         sc.batches = int(z["batches"])
         sc.kmers = int(z["kmers"])
         sc.dropped_unique = int(z["dropped_unique"])

@@ -16,6 +16,7 @@ from kmers_tpu.oracle import numpy_ref as o
 from kmers_tpu.ops import kmer as kmer_ops
 from kmers_tpu.parallel import count as count_ops
 from kmers_tpu.parallel import mesh as mesh_ops, pipeline
+from kmers_tpu.parallel.stream import StreamingCounter
 
 RNG = random.Random(4242)
 
@@ -225,3 +226,113 @@ def test_minimizer_stream_wide_k():
             if best is None or h < best[0]:
                 best, off = (h, wm), q
         assert (int(words[p]), int(poss[p])) == (best[1], off), p
+
+
+# -- wide product path: tables, merging, lookup, streaming, CLI ---------------
+
+def test_lookup_wide_and_merge():
+    k = 63
+    reads = [rand_seq(120) for _ in range(6)]
+    b1 = jnp.asarray(np.stack(
+        [np.frombuffer(r, dtype=np.uint8) for r in reads[:3]]))
+    b2 = jnp.asarray(np.stack(
+        [np.frombuffer(r, dtype=np.uint8) for r in reads[3:]]))
+    t1 = pipeline.count_reads_wide(b1, k).table
+    t2 = pipeline.count_reads_wide(b2, k).table
+    merged = count_ops.merge_many_wide([t1, t2], max_k=k)
+    want = collections.Counter()
+    for r in reads:
+        for _, _, canon in _oracle_wide_windows(r, k):
+            want[canon] += 1
+    assert _table_pairs_wide(merged) == sorted(want.items())
+    # lookup: every present key + some absent ones
+    present = list(want)[:20]
+    absent = [((1 << 126) - 7) & o.mask_wide(k), 12345]
+    queries = u128.from_python_ints(present + absent)
+    got = np.asarray(count_ops.lookup_wide(merged, queries))
+    assert [int(c) for c in got] == [want[w] for w in present] + [0, 0]
+
+
+def test_streaming_counter_wide_matches_oracle(tmp_path):
+    k = 63
+    sc = StreamingCounter(k, capacity=4096, merge_every=2)
+    want = collections.Counter()
+    for _ in range(3):
+        reads = []
+        for _ in range(4):
+            r = bytearray(rand_seq(100))
+            for i in range(3):
+                r[RNG.randrange(100)] = ord("N")
+            reads.append(bytes(r))
+        batch = jnp.asarray(
+            np.stack([np.frombuffer(r, dtype=np.uint8) for r in reads]))
+        sc.update(batch)
+        for r in reads:
+            for _, _, canon in _oracle_wide_windows(r, k):
+                want[canon] += 1
+    assert sc.to_pairs() == sorted(want.items())
+    # packed updates give the identical table
+    from kmers_tpu.io import fastx as fx
+
+    sc2 = StreamingCounter(k, capacity=4096, merge_every=2)
+    rows = np.stack([np.frombuffer(rand_seq(96), dtype=np.uint8)
+                     for _ in range(4)])
+    w, v = fx.pack_batch_np(rows)
+    sc2.update_packed(w, v)
+    sc3 = StreamingCounter(k, capacity=4096)
+    sc3.update(jnp.asarray(rows))
+    assert sc2.to_pairs() == sc3.to_pairs()
+    # checkpoint round-trip preserves the wide table exactly
+    p = str(tmp_path / "wide.npz")
+    sc.save(p)
+    back = StreamingCounter.load(p)
+    assert back.wide and back.k == k
+    assert back.to_pairs() == sc.to_pairs()
+    assert back.kmers == sc.kmers
+    # lookup through the streaming API
+    some = [w for w, _ in sc.to_pairs()[:5]]
+    got = np.asarray(back.lookup(u128.from_python_ints(some)))
+    assert [int(c) for c in got] == [want[w] for w in some]
+
+
+def test_streaming_counter_wide_eviction_counted():
+    k = 40
+    sc = StreamingCounter(k, capacity=16, merge_every=1)
+    reads = [rand_seq(90) for _ in range(4)]
+    batch = jnp.asarray(
+        np.stack([np.frombuffer(r, dtype=np.uint8) for r in reads]))
+    sc.update(batch)
+    _ = sc.to_pairs()
+    total_seen = sum(
+        len(_oracle_wide_windows(r, k)) for r in reads)
+    kept = sum(c for _, c in sc.to_pairs())
+    assert sc.dropped_unique > 0
+    assert kept + sc.dropped_kmers == total_seen
+
+
+def test_cli_wide_count_query_stats(tmp_path, capsys):
+    from kmers_tpu.__main__ import main
+
+    k = 63
+    records = [rand_seq(RNG.randrange(70, 200)) for _ in range(8)]
+    path = str(tmp_path / "reads.fasta")
+    with open(path, "wb") as f:
+        for i, r in enumerate(records):
+            f.write(b">r%d\n" % i + r + b"\n")
+    out = str(tmp_path / "wide_table.npz")
+    assert main(["count", path, "-k", str(k), "-o", out,
+                 "--capacity", "4096", "--batch", "4",
+                 "--length", "224"]) == 0
+    want = collections.Counter()
+    for r in records:
+        for _, _, canon in _oracle_wide_windows(r, k):
+            want[canon] += 1
+    sc = StreamingCounter.load(out)
+    assert sc.to_pairs() == sorted(want.items())
+    # query round-trip through the ASCII interface
+    probe = records[0][:k].decode()
+    assert main(["query", out, probe]) == 0
+    got = capsys.readouterr().out.strip().split("\t")
+    fw = o.word_from_bytes_wide(probe.encode())
+    assert int(got[1]) == want[o.canonical_wide(fw, k)]
+    assert main(["stats", out]) == 0
