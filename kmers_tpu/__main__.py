@@ -29,25 +29,44 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 def _cmd_count(args) -> int:
     from .io import fastx
-    from .parallel.stream import StreamingCounter
+    from .parallel.stream import ShardedStreamingCounter, StreamingCounter
+
+    def make_counter():
+        if args.devices > 1:
+            return ShardedStreamingCounter(
+                args.k, args.capacity, merge_every=args.merge_every,
+                n_devices=args.devices,
+                route_capacity=args.route_capacity,
+                route_passes=args.route_passes)
+        return StreamingCounter(args.k, args.capacity,
+                                merge_every=args.merge_every)
 
     # np.savez appends .npz when the path lacks it; check both spellings so
     # `-o counts --resume` finds the checkpoint savez actually wrote
     ckpt_exists = (os.path.exists(args.output)
                    or os.path.exists(args.output + ".npz"))
     if args.resume and ckpt_exists:
-        sc = StreamingCounter.load(args.output)
-        sc.merge_every = max(1, args.merge_every)
-        if sc.k != args.k:
-            print(f"error: checkpoint has k={sc.k}, requested k={args.k}",
+        loaded = StreamingCounter.load(args.output)
+        if loaded.k != args.k:
+            print(f"error: checkpoint has k={loaded.k}, requested k={args.k}",
                   file=sys.stderr)
             return 2
+        if args.devices > 1:
+            # transplant the flat checkpoint state into a sharded counter
+            # (the merged table is a valid merge input either way)
+            sc = make_counter()
+            sc.table = loaded.table
+            sc.batches, sc.kmers = loaded.batches, loaded.kmers
+            sc.dropped_unique = loaded.dropped_unique
+            sc.dropped_kmers = loaded.dropped_kmers
+        else:
+            sc = loaded
+            sc.merge_every = max(1, args.merge_every)
         skip = sc.batches
         print(f"resuming from {args.output}: {skip} batches, "
               f"{sc.kmers} kmers", file=sys.stderr)
     else:
-        sc = StreamingCounter(args.k, args.capacity,
-                              merge_every=args.merge_every)
+        sc = make_counter()
         skip = 0
 
     t0 = time.time()
@@ -76,6 +95,12 @@ def _cmd_count(args) -> int:
     print(f"{sc.kmers} kmers ({int(sc.table.n_unique)} distinct) "
           f"from {sc.batches} batches in {dt:.1f}s "
           f"-> {args.output}", file=sys.stderr)
+    if getattr(sc, "route_overflow", 0):
+        print(f"WARNING: routing overflow: {sc.route_overflow} kmers "
+              f"dropped in transit ({sc.route_rerouted} re-routed); "
+              f"raise --route-capacity or --route-passes for exact counts",
+              file=sys.stderr)
+        return 3
     if sc.dropped_unique:
         print(f"WARNING: capacity exceeded: {sc.dropped_unique} distinct "
               f"kmers ({sc.dropped_kmers} occurrences) dropped; "
@@ -170,6 +195,14 @@ def main(argv=None) -> int:
     c.add_argument("--ascii-ingest", action="store_true",
                    help="upload raw ASCII instead of 2-bit packed batches "
                         "(debug/compare; ~2.7x more upload traffic)")
+    c.add_argument("--devices", type=int, default=1,
+                   help="shard counting over N local devices "
+                        "(hash-routed all_to_all pipeline)")
+    c.add_argument("--route-capacity", type=int, default=4096,
+                   help="per-destination lane budget per routing pass "
+                        "(sharded mode)")
+    c.add_argument("--route-passes", type=int, default=1,
+                   help="overflow re-route rounds (sharded mode)")
     c.set_defaults(fn=_cmd_count)
 
     q = sub.add_parser("query", help="look up k-mers in a saved table")

@@ -15,7 +15,8 @@ from .pipeline import (CountResult, count_reads, count_reads_wide,
                        make_sequence_parallel_counter,
                        make_sharded_minimizer_counter, make_sharded_lookup)
 from .route import Routed, RoutedWide, owner_of, owner_of_wide
-from .stream import StreamingCounter, count_fastx
+from .stream import (ShardedStreamingCounter, StreamingCounter,
+                     count_fastx)
 
 __all__ = [
     "count", "halo", "mesh", "pipeline", "route", "stream",
@@ -28,5 +29,5 @@ __all__ = [
     "make_sequence_parallel_counter", "make_sharded_minimizer_counter",
     "make_sharded_lookup",
     "Routed", "RoutedWide", "owner_of", "owner_of_wide",
-    "StreamingCounter", "count_fastx",
+    "ShardedStreamingCounter", "StreamingCounter", "count_fastx",
 ]

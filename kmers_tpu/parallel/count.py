@@ -118,17 +118,51 @@ def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
     return CountTable(keys=keys, counts=counts, n_unique=n_unique)
 
 
+def count_sorted_runs(words: U64, valid: jnp.ndarray) -> CountTable:
+    """Count runs of equal (already sorted) words WITHOUT compacting:
+    keys stay sorted-with-duplicates; counts[p] = run length at run-start
+    lanes, 0 elsewhere.
+
+    Why: the compaction in count_sorted is a second full sort (~45% of the
+    batch-count cost).  Run lengths need only the distance to the NEXT run
+    start, which is a reverse cumulative minimum over start positions --
+    one bandwidth-bound scan instead of a sort.  The result is a valid
+    count table for every consumer keyed on ``counts > 0`` (merging,
+    weighted re-count); the streaming pipeline compacts once per
+    `merge_every` batches at consolidation instead of once per batch."""
+    n = words.lo.shape[-1]
+    starts, idx = _run_starts(words, valid)
+    n_unique = starts.sum(dtype=jnp.int32)
+    n_valid = valid.sum(dtype=jnp.int32)
+    # index of the next run start strictly after p (n where none): reverse
+    # cummin of (idx at starts, n elsewhere), shifted left by one lane
+    s_pos = jnp.where(starts, idx, n)
+    ns_incl = jax.lax.cummin(s_pos, axis=0, reverse=True)
+    ns_excl = jnp.concatenate(
+        [ns_incl[1:], jnp.full((1,), n, dtype=ns_incl.dtype)])
+    counts = jnp.where(starts, jnp.minimum(ns_excl, n_valid) - idx, 0)
+    return CountTable(keys=words, counts=counts.astype(jnp.int32),
+                      n_unique=n_unique)
+
+
 def count_words(words: U64, valid: jnp.ndarray,
-                max_k: Optional[int] = None) -> CountTable:
+                max_k: Optional[int] = None,
+                compact: bool = True) -> CountTable:
     """Sort + count a flat lane array of k-mer words.
 
     max_k: when given and <= 31, the sort folds the invalid flag into the
     structurally-spare bit 31 of hi (see sort_by_word) -- same table,
-    ~2x less sort traffic.  Leave None for unknown or k = 32 key spaces."""
+    ~2x less sort traffic.  Leave None for unknown or k = 32 key spaces.
+
+    compact=False returns the run-length form (count_sorted_runs): half
+    the device cost, same information; use when the table feeds a merge
+    rather than direct indexed reads."""
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
     s, v, _ = sort_by_word(flat, valid.reshape(-1),
                            spare_hi_bit=max_k is not None and max_k <= 31)
-    return count_sorted(s, v)
+    if compact:
+        return count_sorted(s, v)
+    return count_sorted_runs(s, v)
 
 
 def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
@@ -166,18 +200,25 @@ def merge_tables(a: CountTable, b: CountTable,
     return merge_many([a, b], max_k=max_k)
 
 
+def _live_lanes(t) -> jnp.ndarray:
+    """Flat live-slot mask of a count table: slots carrying mass.
+
+    ``counts > 0`` covers every table form uniformly -- compacted (live
+    prefix), run-length (count_sorted_runs: counts only at run starts) and
+    per-shard stacked [D, cap] tables -- since dead/padding slots always
+    hold count 0 and live keys always count >= 1."""
+    return (t.counts > 0).reshape(-1)
+
+
 def merge_many(tables, max_k: Optional[int] = None) -> CountTable:
     """Merge count tables (capacity = sum of capacities): one concat +
     weighted re-count, so merging N tables at once costs one sort instead
-    of N-1 pairwise merge sorts."""
-    keys = U64(jnp.concatenate([t.keys.hi for t in tables]),
-               jnp.concatenate([t.keys.lo for t in tables]))
-    counts = jnp.concatenate([t.counts for t in tables])
-    valids = []
-    for t in tables:
-        idx = jnp.arange(t.capacity, dtype=jnp.int32)
-        valids.append(idx < t.n_unique)
-    valid = jnp.concatenate(valids)
+    of N-1 pairwise merge sorts.  Tables may be flat or per-shard stacked
+    ([D, cap]; shard tables are disjoint so this is exact)."""
+    keys = U64(jnp.concatenate([t.keys.hi.reshape(-1) for t in tables]),
+               jnp.concatenate([t.keys.lo.reshape(-1) for t in tables]))
+    counts = jnp.concatenate([t.counts.reshape(-1) for t in tables])
+    valid = jnp.concatenate([_live_lanes(t) for t in tables])
     return count_weighted(keys, valid, counts, max_k=max_k)
 
 
@@ -284,16 +325,27 @@ def _compact_wide(s: U128, starts: jnp.ndarray, idx: jnp.ndarray,
 
 
 def count_words_wide(words: U128, valid: jnp.ndarray,
-                     max_k: Optional[int] = None) -> CountTableWide:
+                     max_k: Optional[int] = None,
+                     compact: bool = True) -> CountTableWide:
     """Sort + count 128-bit keys: lexicographic sort then run-length
-    counting (see sort_by_word_wide for the max_k <= 63 spare-bit trick)."""
+    counting (see sort_by_word_wide for the max_k <= 63 spare-bit trick).
+    compact=False returns the run-length form (see count_sorted_runs)."""
     s, sv, _ = sort_by_word_wide(words, valid,
                                  spare_hi_bit=max_k is not None
                                  and max_k <= 63)
     starts, idx = _run_starts_wide(s, sv)
     n_unique = starts.sum(dtype=jnp.int32)
     n_valid = sv.sum(dtype=jnp.int32)
-    return _compact_wide(s, starts, idx, n_unique, idx, n_valid)
+    if compact:
+        return _compact_wide(s, starts, idx, n_unique, idx, n_valid)
+    n = sv.shape[-1]
+    s_pos = jnp.where(starts, idx, n)
+    ns_incl = jax.lax.cummin(s_pos, axis=0, reverse=True)
+    ns_excl = jnp.concatenate(
+        [ns_incl[1:], jnp.full((1,), n, dtype=ns_incl.dtype)])
+    counts = jnp.where(starts, jnp.minimum(ns_excl, n_valid) - idx, 0)
+    return CountTableWide(keys=s, counts=counts.astype(jnp.int32),
+                          n_unique=n_unique)
 
 
 def count_weighted_wide(words: U128, valid: jnp.ndarray,
@@ -313,19 +365,16 @@ def count_weighted_wide(words: U128, valid: jnp.ndarray,
 
 def merge_many_wide(tables, max_k: Optional[int] = None) -> CountTableWide:
     """Merge wide count tables (capacity = sum of capacities): one concat
-    + weighted re-count (mirror of merge_many)."""
+    + weighted re-count (mirror of merge_many; accepts flat or per-shard
+    stacked tables)."""
     keys = U128(
-        U64(jnp.concatenate([t.keys.hi.hi for t in tables]),
-            jnp.concatenate([t.keys.hi.lo for t in tables])),
-        U64(jnp.concatenate([t.keys.lo.hi for t in tables]),
-            jnp.concatenate([t.keys.lo.lo for t in tables])))
-    counts = jnp.concatenate([t.counts for t in tables])
-    valids = []
-    for t in tables:
-        idx = jnp.arange(t.capacity, dtype=jnp.int32)
-        valids.append(idx < t.n_unique)
-    return count_weighted_wide(keys, jnp.concatenate(valids), counts,
-                               max_k=max_k)
+        U64(jnp.concatenate([t.keys.hi.hi.reshape(-1) for t in tables]),
+            jnp.concatenate([t.keys.hi.lo.reshape(-1) for t in tables])),
+        U64(jnp.concatenate([t.keys.lo.hi.reshape(-1) for t in tables]),
+            jnp.concatenate([t.keys.lo.lo.reshape(-1) for t in tables])))
+    counts = jnp.concatenate([t.counts.reshape(-1) for t in tables])
+    valid = jnp.concatenate([_live_lanes(t) for t in tables])
+    return count_weighted_wide(keys, valid, counts, max_k=max_k)
 
 
 def merge_tables_wide(a: CountTableWide, b: CountTableWide,

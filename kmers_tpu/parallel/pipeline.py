@@ -42,10 +42,15 @@ def canonical_kmers(reads: jnp.ndarray, k: int) -> Tuple[U64, jnp.ndarray]:
     return kmer_ops.canonical_word(win.fw, win.rc), win.valid
 
 
-def count_reads(reads: jnp.ndarray, k: int) -> CountResult:
-    """Single-device bit-exact k-mer counter (BASELINE config 2)."""
+def count_reads(reads: jnp.ndarray, k: int,
+                compact: bool = True) -> CountResult:
+    """Single-device bit-exact k-mer counter (BASELINE config 2).
+
+    compact=False returns the run-length table form (count_sorted_runs):
+    ~2x less device work, same counts -- the streaming pipeline's per-batch
+    mode (compaction happens once per consolidation)."""
     canon, valid = canonical_kmers(reads, k)
-    table = count_ops.count_words(canon, valid, max_k=k)
+    table = count_ops.count_words(canon, valid, max_k=k, compact=compact)
     n_win = reads.shape[-1] - k + 1
     metrics = {
         "reads": jnp.int32(reads.shape[0]),
@@ -57,14 +62,15 @@ def count_reads(reads: jnp.ndarray, k: int) -> CountResult:
 
 
 def count_reads_packed(words: jnp.ndarray, validbits: jnp.ndarray,
-                       k: int) -> CountResult:
+                       k: int, compact: bool = True) -> CountResult:
     """count_reads over PACKED ingest batches ([B, L/16] code words +
     [B, L/32] validity bitmaps from io.fastx.read_packed_batches): same
     table, ~2.7x less host->device traffic (the round-2 CLI was
     upload-bound with the device 4% busy)."""
     win = kmer_ops.kmer_windows_packed(words, validbits, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
-    table = count_ops.count_words(canon, win.valid, max_k=k)
+    table = count_ops.count_words(canon, win.valid, max_k=k,
+                                  compact=compact)
     metrics = {
         "reads": jnp.int32(words.shape[0]),
         "kmers_emitted": win.valid.sum().astype(jnp.int32),
@@ -75,20 +81,19 @@ def count_reads_packed(words: jnp.ndarray, validbits: jnp.ndarray,
     return CountResult(table=table, metrics=metrics)
 
 
-def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
-                        seed: int, axis: str, passes: int) -> CountResult:
-    """shard_map body: local reads -> routed -> owned count table."""
-    canon, valid = canonical_kmers(reads_local, k)
+def _sharded_count_tail(canon, valid, n_reads: int, n_win: int, k: int,
+                        capacity: int, seed: int, axis: str,
+                        passes: int) -> CountResult:
+    """Shared tail of the sharded count bodies: route -> owned table."""
     routed = route_ops.route(canon, valid, axis, capacity, seed,
                              passes=passes)
     table = count_ops.count_words(routed.words, routed.valid, max_k=k)
-    n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
-        "reads": jax.lax.psum(jnp.int32(reads_local.shape[0]), axis),
+        "reads": jax.lax.psum(jnp.int32(n_reads), axis),
         "kmers_emitted": jax.lax.psum(emitted, axis),
         "windows_skipped": jax.lax.psum(
-            jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
+            jnp.int32(n_reads * n_win) - emitted, axis),
         "route_overflow": jax.lax.psum(routed.overflow, axis),
         "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         "route_bytes": jax.lax.psum(
@@ -97,18 +102,40 @@ def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
     return CountResult(table=table, metrics=metrics)
 
 
+def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
+                        seed: int, axis: str, passes: int) -> CountResult:
+    """shard_map body: local reads -> routed -> owned count table."""
+    canon, valid = canonical_kmers(reads_local, k)
+    return _sharded_count_tail(canon, valid, reads_local.shape[0],
+                               reads_local.shape[-1] - k + 1, k, capacity,
+                               seed, axis, passes)
+
+
+def _sharded_count_body_packed(words_local: jnp.ndarray,
+                               validbits_local: jnp.ndarray, k: int,
+                               capacity: int, seed: int, axis: str,
+                               passes: int) -> CountResult:
+    win = kmer_ops.kmer_windows_packed(words_local, validbits_local, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    return _sharded_count_tail(canon, win.valid, words_local.shape[0],
+                               win.n_windows, k, capacity, seed, axis,
+                               passes)
+
+
 _COUNTER_METRICS = ("reads", "kmers_emitted", "windows_skipped",
                     "route_overflow", "route_rerouted", "route_bytes")
 
 
 def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
                          seed: int = 0, axis: str = "d",
-                         route_passes: int = 1):
+                         route_passes: int = 1, packed: bool = False):
     """Build a jitted sharded counting step over `mesh`.
 
     Returns fn(reads [B, L] sharded over axis on dim 0) -> CountResult where
     table leaves are per-shard (leading device dim folded into capacity
     axis under the mesh sharding) and metrics are replicated scalars.
+    With packed=True, fn takes (words [B, L/16], validbits [B, L/32]) in
+    the read_packed_batches ingest layout instead of ASCII reads.
 
     Every shard's table holds only k-mers whose hash-prefix it owns, so the
     global table is the disjoint union of shard tables.
@@ -117,23 +144,25 @@ def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
     (exact results while every destination load <= passes * capacity); what
     still overflows is reported in metrics, never silently dropped.
     """
-    in_spec = P(axis)
     out_spec = CountResult(
         table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
                          n_unique=P(axis)),
         metrics={m: P() for m in _COUNTER_METRICS},
     )
-    body = functools.partial(_sharded_count_body, k=k,
-                             capacity=route_capacity, seed=seed, axis=axis,
-                             passes=route_passes)
+    kw = dict(k=k, capacity=route_capacity, seed=seed, axis=axis,
+              passes=route_passes)
 
-    def wrapped(reads_local):
-        res = body(reads_local)
+    def wrapped(*args):
+        if packed:
+            res = _sharded_count_body_packed(*args, **kw)
+        else:
+            res = _sharded_count_body(*args, **kw)
         # add leading axis-of-size-1 per shard so outputs concatenate over 'd'
         table = jax.tree.map(lambda x: x[None], res.table)
         return CountResult(table=table, metrics=res.metrics)
 
-    fn = shard_map(wrapped, mesh=mesh, in_specs=(in_spec,),
+    in_specs = (P(axis), P(axis)) if packed else (P(axis),)
+    fn = shard_map(wrapped, mesh=mesh, in_specs=in_specs,
                    out_specs=out_spec)
     return jax.jit(fn)
 
@@ -186,10 +215,12 @@ def canonical_kmers_wide(reads: jnp.ndarray, k: int):
     return kmer_ops.canonical_word_wide(win.fw, win.rc), win.valid
 
 
-def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
+def count_reads_wide(reads: jnp.ndarray, k: int,
+                     compact: bool = True) -> CountResult:
     """Single-device counter for multi-word k (BASELINE config 3)."""
     canon, valid = canonical_kmers_wide(reads, k)
-    table = count_ops.count_words_wide(canon, valid, max_k=k)
+    table = count_ops.count_words_wide(canon, valid, max_k=k,
+                                       compact=compact)
     n_win = reads.shape[-1] - k + 1
     metrics = {
         "reads": jnp.int32(reads.shape[0]),
@@ -201,11 +232,12 @@ def count_reads_wide(reads: jnp.ndarray, k: int) -> CountResult:
 
 
 def count_reads_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
-                            k: int) -> CountResult:
+                            k: int, compact: bool = True) -> CountResult:
     """count_reads_wide over packed ingest batches (33 <= k <= 64)."""
     win = kmer_ops.kmer_windows_packed_wide(words, validbits, k)
     canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
-    table = count_ops.count_words_wide(canon, win.valid, max_k=k)
+    table = count_ops.count_words_wide(canon, win.valid, max_k=k,
+                                       compact=compact)
     metrics = {
         "reads": jnp.int32(words.shape[0]),
         "kmers_emitted": win.valid.sum().astype(jnp.int32),
@@ -216,19 +248,18 @@ def count_reads_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
     return CountResult(table=table, metrics=metrics)
 
 
-def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
-                             seed: int, axis: str, passes: int) -> CountResult:
-    canon, valid = canonical_kmers_wide(reads_local, k)
+def _sharded_count_tail_wide(canon, valid, n_reads: int, n_win: int, k: int,
+                             capacity: int, seed: int, axis: str,
+                             passes: int) -> CountResult:
     routed = route_ops.route_wide(canon, valid, axis, capacity, seed,
                                   passes=passes)
     table = count_ops.count_words_wide(routed.words, routed.valid, max_k=k)
-    n_win = reads_local.shape[-1] - k + 1
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
-        "reads": jax.lax.psum(jnp.int32(reads_local.shape[0]), axis),
+        "reads": jax.lax.psum(jnp.int32(n_reads), axis),
         "kmers_emitted": jax.lax.psum(emitted, axis),
         "windows_skipped": jax.lax.psum(
-            jnp.int32(reads_local.shape[0] * n_win) - emitted, axis),
+            jnp.int32(n_reads * n_win) - emitted, axis),
         "route_overflow": jax.lax.psum(routed.overflow, axis),
         "route_rerouted": jax.lax.psum(routed.rerouted, axis),
         "route_bytes": jax.lax.psum(
@@ -237,10 +268,29 @@ def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
     return CountResult(table=table, metrics=metrics)
 
 
+def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
+                             seed: int, axis: str, passes: int) -> CountResult:
+    canon, valid = canonical_kmers_wide(reads_local, k)
+    return _sharded_count_tail_wide(canon, valid, reads_local.shape[0],
+                                    reads_local.shape[-1] - k + 1, k,
+                                    capacity, seed, axis, passes)
+
+
+def _sharded_count_body_wide_packed(words_local, validbits_local, k: int,
+                                    capacity: int, seed: int, axis: str,
+                                    passes: int) -> CountResult:
+    win = kmer_ops.kmer_windows_packed_wide(words_local, validbits_local, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    return _sharded_count_tail_wide(canon, win.valid, words_local.shape[0],
+                                    win.n_windows, k, capacity, seed, axis,
+                                    passes)
+
+
 def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
                               seed: int = 0, axis: str = "d",
-                              route_passes: int = 1):
-    """Sharded counter for 33 <= k <= 64 (2xu64 keys)."""
+                              route_passes: int = 1, packed: bool = False):
+    """Sharded counter for 33 <= k <= 64 (2xu64 keys); packed=True takes
+    (words, validbits) ingest batches like make_sharded_counter."""
     from .count import CountTableWide
 
     out_spec = CountResult(
@@ -249,16 +299,19 @@ def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
             counts=P(axis), n_unique=P(axis)),
         metrics={m: P() for m in _COUNTER_METRICS},
     )
-    body = functools.partial(_sharded_count_body_wide, k=k,
-                             capacity=route_capacity, seed=seed, axis=axis,
-                             passes=route_passes)
+    kw = dict(k=k, capacity=route_capacity, seed=seed, axis=axis,
+              passes=route_passes)
 
-    def wrapped(reads_local):
-        res = body(reads_local)
+    def wrapped(*args):
+        if packed:
+            res = _sharded_count_body_wide_packed(*args, **kw)
+        else:
+            res = _sharded_count_body_wide(*args, **kw)
         table = jax.tree.map(lambda x: x[None], res.table)
         return CountResult(table=table, metrics=res.metrics)
 
-    fn = shard_map(wrapped, mesh=mesh, in_specs=(P(axis),),
+    in_specs = (P(axis), P(axis)) if packed else (P(axis),)
+    fn = shard_map(wrapped, mesh=mesh, in_specs=in_specs,
                    out_specs=out_spec)
     return jax.jit(fn)
 

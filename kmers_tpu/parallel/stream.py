@@ -140,17 +140,23 @@ class StreamingCounter:
         self.merge_every = max(1, merge_every)
         z = jnp.zeros(capacity, dtype=jnp.uint32)
         if self.wide:
-            self._count = jax.jit(lambda a: pipeline.count_reads_wide(a, k))
+            # compact=False: per-batch tables are run-length form (half the
+            # sort cost); compaction happens once per consolidation
+            self._count = jax.jit(
+                lambda a: pipeline.count_reads_wide(a, k, compact=False))
             self._count_packed = jax.jit(
-                lambda w, v: pipeline.count_reads_packed_wide(w, v, k))
+                lambda w, v: pipeline.count_reads_packed_wide(
+                    w, v, k, compact=False))
             self.table = CountTableWide(
                 keys=U128(U64(z, z), U64(z, z)),
                 counts=jnp.zeros(capacity, jnp.int32),
                 n_unique=jnp.int32(0))
         else:
-            self._count = jax.jit(lambda a: pipeline.count_reads(a, k))
+            self._count = jax.jit(
+                lambda a: pipeline.count_reads(a, k, compact=False))
             self._count_packed = jax.jit(
-                lambda w, v: pipeline.count_reads_packed(w, v, k))
+                lambda w, v: pipeline.count_reads_packed(w, v, k,
+                                                         compact=False))
             self.table = CountTable(keys=U64(z, z),
                                     counts=jnp.zeros(capacity, jnp.int32),
                                     n_unique=jnp.int32(0))
@@ -278,21 +284,123 @@ class StreamingCounter:
         return sc
 
 
+class ShardedStreamingCounter(StreamingCounter):
+    """StreamingCounter over a device mesh: each batch is data-parallel
+    over the 'd' axis, every k-mer rides a fixed-capacity all_to_all to the
+    shard owning its hash prefix (parallel.route), and per-shard disjoint
+    tables accumulate in the same deferred-merge pipeline (merge_many
+    consumes the [D, cap] shard tables directly).
+
+    This is BASELINE config 5 made operational: file ingest -> sharded
+    counting -> one merged global table, reachable from the CLI
+    (--devices).  Overflowed routing lanes are COUNTED per batch
+    (route_overflow/route_rerouted) and surfaced on the final stats --
+    raise route_capacity / route_passes until overflow is 0 for exact
+    tables.
+    """
+
+    def __init__(self, k: int, capacity: int, merge_every: int = 16,
+                 mesh=None, n_devices: Optional[int] = None,
+                 route_capacity: int = 4096, route_passes: int = 1,
+                 seed: int = 0):
+        from . import mesh as mesh_ops
+        from . import pipeline as pl
+
+        super().__init__(k, capacity, merge_every)
+        self.mesh = mesh if mesh is not None else mesh_ops.make_mesh(
+            n_devices)
+        self.n_devices = self.mesh.shape["d"]
+        self.route_capacity = route_capacity
+        self.route_passes = route_passes
+        self.route_overflow = 0
+        self.route_rerouted = 0
+        self._pending_overflow = []
+        self._sharding = mesh_ops.batch_sharding(self.mesh)
+        mk = (pl.make_sharded_counter_wide if self.wide
+              else pl.make_sharded_counter)
+        self._scount = mk(self.mesh, k, route_capacity=route_capacity,
+                          route_passes=route_passes, seed=seed)
+        self._scount_packed = mk(self.mesh, k,
+                                 route_capacity=route_capacity,
+                                 route_passes=route_passes, seed=seed,
+                                 packed=True)
+        # multi-host: host-side reads (to_pairs/save) need the merged table
+        # fully replicated; this jit inserts the all_gather
+        self._replicate = jax.jit(lambda t: t,
+                                  out_shardings=mesh_ops.replicated(
+                                      self.mesh))
+
+    def _pad_rows(self, arr: np.ndarray, fill: int) -> np.ndarray:
+        # rows must divide evenly over the devices each process feeds
+        d = max(1, self.n_devices // jax.process_count())
+        b = arr.shape[0]
+        if b % d == 0:
+            return np.asarray(arr)
+        pad = d - b % d
+        filler = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([np.asarray(arr), filler], axis=0)
+
+    def _put(self, arr: np.ndarray):
+        """Assemble a (process-local in multi-host runs) row block into a
+        global array sharded over 'd'."""
+        if jax.process_count() > 1:
+            from . import mesh as mesh_ops
+
+            return mesh_ops.make_global_array(arr, self.mesh)
+        return jax.device_put(jnp.asarray(arr), self._sharding)
+
+    def update(self, reads) -> None:
+        arr = self._pad_rows(np.asarray(reads), ord("N"))
+        self._absorb_sharded(self._scount(self._put(arr)))
+
+    def update_packed(self, words, validbits) -> None:
+        w = self._pad_rows(np.asarray(words), 0)
+        v = self._pad_rows(np.asarray(validbits), 0)
+        self._absorb_sharded(self._scount_packed(self._put(w), self._put(v)))
+
+    def _absorb_sharded(self, res) -> None:
+        self._pending_overflow.append(
+            (res.metrics["route_overflow"], res.metrics["route_rerouted"]))
+        self._absorb(res)
+
+    def _consolidate(self) -> None:
+        for ov, rr in self._pending_overflow:
+            self.route_overflow += int(ov)
+            self.route_rerouted += int(rr)
+        self._pending_overflow = []
+        had_pending = bool(self._pending)
+        super()._consolidate()
+        if had_pending and jax.process_count() > 1:
+            self.table = self._replicate(self.table)
+
+
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
                 length: int = 256,
                 counter: Optional[StreamingCounter] = None,
-                packed: bool = True, prefetch_depth: int = 2
-                ) -> StreamingCounter:
+                packed: bool = True, prefetch_depth: int = 2,
+                devices: int = 1, route_capacity: int = 4096,
+                route_passes: int = 1) -> StreamingCounter:
     """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
     long records).  Pass `counter` to resume from a checkpoint.
 
     packed=True (default) ships 2-bit packed words + validity bitmaps to
     the device (0.375 B/base vs 1 B/base ASCII) and parses batch i+1 on a
     background thread while batch i uploads/computes.  Requires
-    length % 32 == 0; falls back to the ASCII path otherwise."""
+    length % 32 == 0; falls back to the ASCII path otherwise.
+
+    devices > 1 runs the hash-routed sharded pipeline over that many local
+    devices (ShardedStreamingCounter; route overflow is surfaced on the
+    returned counter)."""
     from ..io import fastx
 
-    sc = counter if counter is not None else StreamingCounter(k, capacity)
+    if counter is not None:
+        sc = counter
+    elif devices > 1:
+        sc = ShardedStreamingCounter(k, capacity, n_devices=devices,
+                                     route_capacity=route_capacity,
+                                     route_passes=route_passes)
+    else:
+        sc = StreamingCounter(k, capacity)
     if packed and length % 32 == 0:
         it = fastx.read_packed_batches(path, k=k, batch=batch, length=length)
         for words, validbits in fastx.prefetch(it, depth=prefetch_depth):

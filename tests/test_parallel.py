@@ -404,3 +404,56 @@ def test_lookup_sharded_owner_indexed():
     got = jax.jit(lambda t, q: pipeline.lookup_sharded(t, q, 8))(
         res.table, as_u64(queries))
     assert list(np.asarray(got)) == [want.get(q, 0) for q in queries]
+
+
+def test_count_words_runlength_form_equivalent():
+    """count_words(compact=False) (run-length form, no compaction sort)
+    carries identical information: merging it yields the same compacted
+    table, and counts>0 marks exactly the distinct keys."""
+    import numpy as np
+
+    from kmers_tpu.core import u64 as u
+
+    rng = np.random.default_rng(99)
+    for k in (15, 31, 32):
+        reads = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                           size=(12, 80), p=[0.24] * 4 + [0.04])
+        canon, valid = pipeline.canonical_kmers(jnp.asarray(reads), k)
+        t_c = count_ops.count_words(canon, valid, max_k=k, compact=True)
+        t_r = count_ops.count_words(canon, valid, max_k=k, compact=False)
+        assert int(t_c.n_unique) == int(t_r.n_unique)
+        # same total mass, same distinct count
+        assert int(t_c.counts.sum()) == int(t_r.counts.sum())
+        assert int((t_r.counts > 0).sum()) == int(t_r.n_unique)
+        # merging the run-length form compacts to the identical table
+        m = count_ops.merge_many([t_r], max_k=k)
+        nu = int(t_c.n_unique)
+        assert np.array_equal(u.to_numpy(m.keys)[:nu],
+                              u.to_numpy(t_c.keys)[:nu])
+        assert np.array_equal(np.asarray(m.counts)[:nu],
+                              np.asarray(t_c.counts)[:nu])
+        # run-length keys at live lanes are the distinct keys in order
+        live = np.asarray(t_r.counts) > 0
+        assert np.array_equal(u.to_numpy(t_r.keys)[live],
+                              u.to_numpy(t_c.keys)[:nu])
+
+
+def test_count_words_wide_runlength_form_equivalent():
+    import numpy as np
+
+    from kmers_tpu.core import u128 as u128mod
+
+    rng = np.random.default_rng(100)
+    k = 63
+    reads = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                       size=(6, 100), p=[0.24] * 4 + [0.04])
+    canon, valid = pipeline.canonical_kmers_wide(jnp.asarray(reads), k)
+    t_c = count_ops.count_words_wide(canon, valid, max_k=k, compact=True)
+    t_r = count_ops.count_words_wide(canon, valid, max_k=k, compact=False)
+    assert int(t_c.n_unique) == int(t_r.n_unique)
+    m = count_ops.merge_many_wide([t_r], max_k=k)
+    nu = int(t_c.n_unique)
+    assert u128mod.to_python_ints(m.keys)[:nu] == \
+        u128mod.to_python_ints(t_c.keys)[:nu]
+    assert np.asarray(m.counts)[:nu].tolist() == \
+        np.asarray(t_c.counts)[:nu].tolist()
