@@ -132,30 +132,120 @@ def main():
     emit("count_pipeline_k31", rate, "kmers/s",
          "scatter-free sort+compact count table per batch; sharded path on CPU mesh")
 
+    # config 5r: same pipeline in the streaming per-batch form -- run-length
+    # table (count_sorted_runs), no per-batch compaction sort; this is what
+    # StreamingCounter actually executes per batch
+    def cfg5r(reads):
+        res = count_reads(reads, 31, compact=False)
+        s = (jnp.sum(res.table.counts.astype(jnp.uint32)) ^
+             jnp.sum(res.table.keys.lo)) & jnp.uint32(3)
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        code = internal ^ (internal >> 1)
+        return benchlib.ascii_from_codes(code + s)
+
+    rate = benchlib.chain_rate(cfg5r, first_reads(B5, L5, 5),
+                               B5 * (L5 - 31 + 1))
+    emit("count_pipeline_k31_runlength", rate, "kmers/s",
+         "run-length table form (streaming per-batch mode): key sort + "
+         "reverse-cummin, compaction deferred to consolidation")
+
 
 def length_matrix():
-    """The reference's criterion matrix: k=31 construct (+canonical+hash)
-    throughput over input lengths 2^8..2^15
-    (/root/reference/benches/simple_benchmark.rs:61-78).  Batch sized to
-    keep ~2 MiB of ASCII per call at every length."""
+    """The reference's criterion matrix, all four arms
+    (/root/reference/benches/simple_benchmark.rs:58-102): k=31 construct
+    and reverse-complement, naive_impl vs generic+Xor10, over input
+    lengths 2^8..2^15.  Batch sized to keep ~2 MiB of ASCII per call.
+
+    Arm mapping (batch-first analogs of the per-window scalar loops):
+      construct/naive  -> fused pack+windows+canonical+hash Pallas kernel
+                          (compute_naive + the canonical/hash the engine
+                          always produces)
+      construct/xor10  -> xor10 base codes + log-doubling window words
+                          (compute_xor10: generic Kmer<u64,31> + Xor10)
+      rc/naive         -> windows + the 5-step revcomp ladder (rc_naive)
+      rc/xor10         -> xor10 windows + complement(^0b10) + base
+                          reversal + shift (rc_xor10, corrected semantics)
+    """
+    from kmers_tpu.core import u64 as u
     from kmers_tpu.kernels import window as kwin
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    K = 31
 
     for exp in range(8, 16):
         L = 1 << exp
         B = max(256, (2 << 20) // L)
         B -= B % 256
+        reads0 = first_reads(B, L, exp)
 
-        def step(reads):
-            _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, 31)
+        def arm_naive(reads):
+            _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, K)
             return benchlib.ascii_from_codes(hash_lo)
 
-        rate = benchlib.chain_rate(step, first_reads(B, L, exp),
-                                   B * (L - 31 + 1))
-        emit(f"construct_k31_len_2e{exp}", rate, "kmers/s", f"B={B} L={L}")
+        def arm_xor10(reads):
+            internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+            w = kmer_ops.window_words(internal, K)    # Kmer<u64,31> words
+            return benchlib.ascii_from_codes(w.lo ^ w.hi)
+
+        def arm_rc_naive(reads):
+            win = kmer_ops.kmer_windows(reads, K)     # includes revcomp
+            return benchlib.ascii_from_codes(win.rc.lo ^ win.rc.hi)
+
+        def arm_rc_xor10(reads):
+            internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+            w = kmer_ops.window_words(internal, K)
+            comp = u.xor_const(w, 0xAAAAAAAAAAAAAAAA)  # code ^ 0b10 per base
+            rc = u.shr(u.reverse_bases(comp), 2 * (32 - K))
+            return benchlib.ascii_from_codes(rc.lo ^ rc.hi)
+
+        n = B * (L - K + 1)
+        for name, fn in (("naive", arm_naive), ("xor10", arm_xor10),
+                         ("rc_naive", arm_rc_naive),
+                         ("rc_xor10", arm_rc_xor10)):
+            rate = benchlib.chain_rate(fn, reads0, n)
+            emit(f"{name}_k31_len_2e{exp}", rate, "kmers/s", f"B={B} L={L}")
+
+
+def generic_layer_bench():
+    """Throughput of ops/generic.py itself (encode / rev_comp, u64+Xor10
+    and u64+ACGT) on [N, 31] k-mer batches -- the generic layer had never
+    been timed (VERDICT r2 missing item 1)."""
+    from kmers_tpu.ops import generic as g
+
+    N = 1 << 18
+    rng = np.random.default_rng(7)
+    kmers0 = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                    size=(N, 31)))
+    def lanes_to_next_ascii(lanes):
+        """Derive the next [N, 31] ASCII batch from both output lanes
+        (serial dependency on everything the benched op computes)."""
+        shifts = 2 * jnp.arange(16, dtype=jnp.uint32)
+        parts = [((x[..., None] >> shifts) & jnp.uint32(3)) for x in lanes]
+        codes = jnp.concatenate(parts, axis=-1)[:, :31]
+        return benchlib.ascii_from_codes(codes)
+
+    for enc_name in ("xor10", "ACGT"):
+        spec = g.GenericSpec(64, 31, enc_name)
+
+        def enc_step(ascii_u8, spec=spec):
+            return lanes_to_next_ascii(g.encode(spec, ascii_u8))
+
+        rate = benchlib.chain_rate(enc_step, kmers0, N)
+        emit(f"generic_encode_u64_{enc_name}", rate, "kmers/s", f"N={N}")
+
+        def rc_step(ascii_u8, spec=spec):
+            return lanes_to_next_ascii(
+                g.rev_comp(spec, g.encode(spec, ascii_u8)))
+
+        rate = benchlib.chain_rate(rc_step, kmers0, N)
+        emit(f"generic_encode_revcomp_u64_{enc_name}", rate, "kmers/s",
+             f"N={N}")
 
 
 if __name__ == "__main__":
     if "--lengths" in sys.argv:
         length_matrix()
+    elif "--generic" in sys.argv:
+        generic_layer_bench()
     else:
         main()

@@ -53,6 +53,22 @@ class CountTable(NamedTuple):
         return self.counts.shape[-1]
 
 
+def _bitonic_eligible(n: int, n_extras: int) -> bool:
+    """The Pallas bitonic sort applies: TPU backend, power-of-two lane
+    count >= 512, no extra payload operands (bitonic is unstable; the
+    2-word key is total, so key-only sorts are permutation-safe)."""
+    import os
+
+    if os.environ.get("KMERS_TPU_NO_BITONIC"):
+        return False
+    if n_extras or n < 512 or n & (n - 1):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
 def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
                  spare_hi_bit: bool = False):
     """Stable sort lanes by ((~valid), hi, lo).  Returns (words, valid,
@@ -65,12 +81,24 @@ def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
     valid is reconstructed as lane < n_valid (invalid lanes all carry the
     flag bit, so they sort strictly last).  NOT safe for k = 32 (the all-T
     word uses bit 31): there the separate invalid key keeps u64::MAX
-    k-mers from aliasing padding (see module docstring)."""
+    k-mers from aliasing padding (see module docstring).
+
+    On TPU, power-of-two payload-free spare-bit sorts dispatch to the
+    Pallas hierarchical bitonic kernel (kernels/sort.py) -- ~6 HBM passes
+    instead of XLA sort's ~114; output is byte-identical."""
     if spare_hi_bit:
         flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1) << 31)
-        out = jax.lax.sort((words.hi | flag, words.lo) + tuple(extras),
-                           num_keys=2, is_stable=True)
+        key_hi = words.hi | flag
         n = words.lo.shape[-1]
+        if _bitonic_eligible(n, len(extras)):
+            from ..kernels.sort import bitonic_sort_u64
+
+            s_hi, s_lo = bitonic_sort_u64(key_hi.reshape(-1),
+                                          words.lo.reshape(-1))
+            out = (s_hi, s_lo)
+        else:
+            out = jax.lax.sort((key_hi, words.lo) + tuple(extras),
+                               num_keys=2, is_stable=True)
         v = jnp.arange(n, dtype=jnp.int32) < valid.sum(dtype=jnp.int32)
         return U64(out[0] & jnp.uint32(0x7FFFFFFF), out[1]), v, out[2:]
     invalid_key = (~valid).astype(jnp.uint32)

@@ -101,3 +101,46 @@ def test_hash_one_compat():
     for state in (lex_hash_state(8), mix_hash_state(7)):
         assert hash_one(state, km) == hash_one(state, km.data)
         assert hash_one(state, km) == state.hash_word(km.data)
+
+
+# -- checked-in golden fixtures (format-spec-derived bytes) -------------------
+#
+# No Rust toolchain exists here to run the reference crate itself
+# (BASELINE.md); these binaries were derived by hand from the simple-sds
+# serialization format and the reference's 2-bit LSB-first packing and
+# checked in, so any drift in our serializer breaks against PINNED bytes,
+# not against code that could drift with it.
+
+import os
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_golden_rawvector_fixture_roundtrip():
+    from kmers_tpu.ops.seqvector import SeqVector
+
+    path = os.path.join(_DATA, "taaggattctaatca.rawvector")
+    sv = SeqVector.load_simple_sds(path)
+    assert sv.to_string() == "TAAGGATTCTAATCA"
+    with open(path, "rb") as f:
+        assert SeqVector.from_str("TAAGGATTCTAATCA").to_simple_sds() \
+            == f.read()
+
+
+def test_golden_intvector_fixture():
+    from kmers_tpu.ops.seqvector import SeqVector
+
+    with open(os.path.join(_DATA, "taaggattctaatca.intvector"), "rb") as f:
+        sv = SeqVector.from_simple_sds_int_vector(f.read())
+    assert sv.to_string() == "TAAGGATTCTAATCA"
+
+
+def test_golden_multiword_fixture_roundtrip():
+    from kmers_tpu.ops.seqvector import SeqVector
+
+    seq = "TAAGGATTCTAATCAACGTACGTACGTACGTTTTTGGGGCCCCAAAA" * 2
+    path = os.path.join(_DATA, "multiword94.rawvector")
+    sv = SeqVector.load_simple_sds(path)
+    assert sv.to_string() == seq
+    with open(path, "rb") as f:
+        assert SeqVector.from_str(seq).to_simple_sds() == f.read()
