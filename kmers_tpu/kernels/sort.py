@@ -15,20 +15,36 @@ speed.  HBM is touched:
     elementwise XLA (reshape + flip-pair + select): already a single
     fused read+write, no kernel needed.
 
-For n = 2^20 with TILE = 2^18: 1 + 2 + 3 = 6 HBM passes instead of ~114.
+For n = 2^20 with TILE = 2^17 (the largest tile that fits the 16 MB
+VMEM scoped-allocation budget: 2 in + 2 out x 512 KB + loop temporaries):
+1 tile pass + 3 intra passes + 6 cross stages = 10 HBM passes instead of
+~114.
 
 Network: classic direction-alternating bitonic (Batcher).  For level
 kk = 2, 4, ..., n and stride s = kk/2 ... 1, lane i exchanges with
-i ^ s; the pair is ordered ascending iff (i & kk) == 0.  Partner values
-at XOR stride s are two ``pltpu.roll``s + an iota-bit select -- no
-gathers, no scatters (SURVEY.md §7 "sort, don't scatter").
+i ^ s; the pair is ordered ascending iff (global_index & kk) == 0.
+Partner values at XOR stride s are two ``pltpu.roll``s + an iota-bit
+select -- no gathers, no scatters (SURVEY.md §7 "sort, don't scatter").
+
+Kernel structure notes (hard-won on the axon remote-compile relay):
+
+  * The in-tile stage loops are ``lax.fori_loop``s with DYNAMIC stride
+    rolls, not a Python unroll: the fully unrolled network for a 2^18
+    tile is 171 stages (~2,500 vector ops) and Mosaic takes >10 minutes
+    to compile it; the loop form compiles in ~30 s and runs at the same
+    HBM-bound speed.
+  * The merge level kk enters the intra-tile kernel as an SMEM scalar, so
+    ONE compiled kernel serves every merge level of every call shape.
+  * All side/direction masks are computed as int32 0/1 (never bool-vs-
+    bool compares, never bool-valued selects): Mosaic cannot lower
+    i1-valued select_n / i8->i1 truncation.
 
 Not stable (equal (hi, lo) pairs may permute -- they are bit-identical
 lanes, so the sorted output is still byte-equal to lax.sort's).  No
 payload support: the counting pipeline's run-length form
 (parallel/count.py) needs none.  n must be a power of two and >= 512;
-callers pad with 0xFFFFFFFF sentinel lanes, which sort last (the
-counting pipeline's invalid-flag bit provides exactly this).
+parallel.count pads with 0xFFFFFFFF sentinel lanes (strictly greater
+than every real key) and slices back.
 """
 
 from __future__ import annotations
@@ -43,80 +59,98 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128          # TPU vector lane count: arrays are [rows, 128]
 
 
-def _partner(x: jnp.ndarray, s: int, row_iota, lane_iota) -> jnp.ndarray:
-    """value at index (i ^ s) for every lane i of a [R, 128] tile."""
-    if s < LANES:
+def _dyn_stage(hi, lo, s, dir_up, idx, row_iota, lane_iota):
+    """One compare-exchange stage at traced stride s (a power of two).
+
+    dir_up: int32 0/1 (1 = ascending), idx: within-tile linear index
+    [R, 128] int32.  Partner lanes (index idx ^ s) come from two dynamic
+    rolls along the lane axis (s < 128) or the sublane axis (s >= 128),
+    selected by lax.cond so only one pair of rolls executes."""
+    R = hi.shape[0]
+
+    def lane_partner(x):
         plus = pltpu.roll(x, shift=LANES - s, axis=1)     # x[.., c + s]
         minus = pltpu.roll(x, shift=s, axis=1)            # x[.., c - s]
-        low = (lane_iota & s) == 0
-    else:
+        return jnp.where((lane_iota & s) == 0, plus, minus)
+
+    def row_partner(x):
         sr = s // LANES
-        R = x.shape[0]
         plus = pltpu.roll(x, shift=R - sr, axis=0)        # x[r + sr, ..]
         minus = pltpu.roll(x, shift=sr, axis=0)           # x[r - sr, ..]
-        low = (row_iota & sr) == 0
-    return jnp.where(low, plus, minus)
+        return jnp.where((row_iota & sr) == 0, plus, minus)
 
+    p_hi, p_lo = jax.lax.cond(
+        s < LANES,
+        lambda: (lane_partner(hi), lane_partner(lo)),
+        lambda: (row_partner(hi), row_partner(lo)))
 
-def _stage(hi, lo, s: int, dir_up, row_iota, lane_iota):
-    """One compare-exchange stage at stride s; dir_up = ascending mask."""
-    p_hi = _partner(hi, s, row_iota, lane_iota)
-    p_lo = _partner(lo, s, row_iota, lane_iota)
-    if s < LANES:
-        is_low = (lane_iota & s) == 0
-    else:
-        is_low = (row_iota & (s // LANES)) == 0
+    is_low = jnp.where((idx & s) == 0, 1, 0)      # low side of the pair
     hi_eq = p_hi == hi
     p_less = (p_hi < hi) | (hi_eq & (p_lo < lo))
     p_greater = ~p_less & ~(hi_eq & (p_lo == lo))
-    take = jnp.where(is_low == dir_up, p_less, p_greater)
+    want_less = (is_low ^ dir_up) == 0    # low side of an ascending pair
+    take = (want_less & p_less) | (~want_less & p_greater)
     return jnp.where(take, p_hi, hi), jnp.where(take, p_lo, lo)
 
 
-def _tile_dir(kk: int, tile_idx, tile_lanes: int, row_iota, lane_iota):
-    """dir_up mask for level kk inside a tile: (global_index & kk) == 0."""
-    if kk < LANES:
-        return (lane_iota & kk) == 0
-    if kk < tile_lanes:
-        return (row_iota & (kk // LANES)) == 0
-    # kk >= tile size: uniform over the tile, from the tile index bits
-    rows_per_tile = tile_lanes // LANES
-    bit = (tile_idx * rows_per_tile) & (kk // LANES)
-    return jnp.broadcast_to(bit == 0, row_iota.shape)
+def _level_strides(hi, lo, kk, n_strides, gidx, idx, row_iota, lane_iota):
+    """Run strides kk/2, kk/4, ..., (n_strides of them) of merge level kk.
+    Direction of every pair: ascending iff (global_index & kk) == 0."""
+    dir_up = jnp.where((gidx & kk) == 0, 1, 0)
+
+    def body(j, carry):
+        h, l = carry
+        s = kk >> (j + 1)
+        return _dyn_stage(h, l, s, dir_up, idx, row_iota, lane_iota)
+
+    return jax.lax.fori_loop(0, n_strides, body, (hi, lo))
+
+
+def _iotas(shape):
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    idx = row_iota * LANES + lane_iota
+    return idx, row_iota, lane_iota
 
 
 def _tile_sort_kernel(hi_ref, lo_ref, hi_out, lo_out, *, tile_lanes: int):
     """Levels kk = 2 .. tile_lanes fused: each tile leaves fully sorted,
     alternating ascending/descending per the global network."""
     hi, lo = hi_ref[:], lo_ref[:]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
-    t = pl.program_id(0)
-    kk = 2
-    while kk <= tile_lanes:
-        dir_up = _tile_dir(kk, t, tile_lanes, row_iota, lane_iota)
-        s = kk // 2
-        while s >= 1:
-            hi, lo = _stage(hi, lo, s, dir_up, row_iota, lane_iota)
-            s //= 2
-        kk *= 2
+    idx, row_iota, lane_iota = _iotas(hi.shape)
+    gidx = pl.program_id(0) * tile_lanes + idx
+    n_levels = tile_lanes.bit_length() - 1        # log2(tile_lanes)
+
+    def level(l, carry):
+        h, lw = carry
+        kk = jnp.int32(2) << l                    # level size 2^(l+1)
+        return _level_strides(h, lw, kk, l + 1, gidx, idx, row_iota,
+                              lane_iota)
+
+    hi, lo = jax.lax.fori_loop(0, n_levels, level, (hi, lo))
     hi_out[:] = hi
     lo_out[:] = lo
 
 
-def _intra_pass_kernel(hi_ref, lo_ref, hi_out, lo_out, *, kk: int,
+def _intra_pass_kernel(kk_ref, hi_ref, lo_ref, hi_out, lo_out, *,
                        tile_lanes: int):
-    """Strides tile_lanes/2 .. 1 of merge level kk, fused (direction is
-    uniform per tile since kk >= 2 * tile_lanes)."""
+    """Strides tile_lanes/2 .. 1 of merge level kk (an SMEM scalar, so one
+    compile serves all merge levels); direction from the global index."""
     hi, lo = hi_ref[:], lo_ref[:]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
-    t = pl.program_id(0)
-    dir_up = _tile_dir(kk, t, tile_lanes, row_iota, lane_iota)
-    s = tile_lanes // 2
-    while s >= 1:
-        hi, lo = _stage(hi, lo, s, dir_up, row_iota, lane_iota)
-        s //= 2
+    idx, row_iota, lane_iota = _iotas(hi.shape)
+    gidx = pl.program_id(0) * tile_lanes + idx
+    kk = kk_ref[0]
+    n_strides = tile_lanes.bit_length() - 1       # log2(tile_lanes)
+    # entry stride is tile_lanes/2 regardless of kk: rewrite the level as
+    # kk' = tile_lanes with per-lane direction still taken from kk
+    dir_up = jnp.where((gidx & kk) == 0, 1, 0)
+
+    def body(j, carry):
+        h, lw = carry
+        s = jnp.int32(tile_lanes) >> (j + 1)
+        return _dyn_stage(h, lw, s, dir_up, idx, row_iota, lane_iota)
+
+    hi, lo = jax.lax.fori_loop(0, n_strides, body, (hi, lo))
     hi_out[:] = hi
     lo_out[:] = lo
 
@@ -148,7 +182,7 @@ def _cross_stage_xla(hi, lo, kk: int, s: int):
 
 @functools.partial(jax.jit, static_argnames=("tile_lanes", "interpret"))
 def bitonic_sort_u64(hi: jnp.ndarray, lo: jnp.ndarray,
-                     tile_lanes: int = 1 << 18,
+                     tile_lanes: int = 1 << 17,
                      interpret: bool = False):
     """Sort flat uint32 arrays (hi, lo) ascending as u64 keys.
 
@@ -169,19 +203,25 @@ def bitonic_sort_u64(hi: jnp.ndarray, lo: jnp.ndarray,
                              memory_space=pltpu.VMEM)
     out2d = jax.ShapeDtypeStruct(shape2d, jnp.uint32)
 
-    def call(kernel):
-        return pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
-            in_specs=[tile_spec, tile_spec],
-            out_specs=(tile_spec, tile_spec),
-            out_shape=(out2d, out2d),
-            interpret=interpret,
-        )
-
     # phase 1: sort every tile (levels kk = 2 .. T fused, one HBM pass)
-    hi2, lo2 = call(functools.partial(_tile_sort_kernel, tile_lanes=T))(
-        hi2, lo2)
+    hi2, lo2 = pl.pallas_call(
+        functools.partial(_tile_sort_kernel, tile_lanes=T),
+        grid=(n_tiles,),
+        in_specs=[tile_spec, tile_spec],
+        out_specs=(tile_spec, tile_spec),
+        out_shape=(out2d, out2d),
+        interpret=interpret,
+    )(hi2, lo2)
+
+    intra = pl.pallas_call(
+        functools.partial(_intra_pass_kernel, tile_lanes=T),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  tile_spec, tile_spec],
+        out_specs=(tile_spec, tile_spec),
+        out_shape=(out2d, out2d),
+        interpret=interpret,
+    )
 
     # phase 2: merge levels kk = 2T .. n
     kk = 2 * T
@@ -194,7 +234,6 @@ def bitonic_sort_u64(hi: jnp.ndarray, lo: jnp.ndarray,
         hi2 = flat_hi.reshape(shape2d)
         lo2 = flat_lo.reshape(shape2d)
         # strides T/2 .. 1 fused into one Pallas pass
-        hi2, lo2 = call(functools.partial(_intra_pass_kernel, kk=kk,
-                                          tile_lanes=T))(hi2, lo2)
+        hi2, lo2 = intra(jnp.array([kk], dtype=jnp.int32), hi2, lo2)
         kk *= 2
     return hi2.reshape(n), lo2.reshape(n)

@@ -54,19 +54,38 @@ class CountTable(NamedTuple):
 
 
 def _bitonic_eligible(n: int, n_extras: int) -> bool:
-    """The Pallas bitonic sort applies: TPU backend, power-of-two lane
-    count >= 512, no extra payload operands (bitonic is unstable; the
-    2-word key is total, so key-only sorts are permutation-safe)."""
+    """The Pallas bitonic sort applies: TPU backend, >= 512 lanes, no extra
+    payload operands (bitonic is unstable; the 2-word key is total, so
+    key-only sorts are permutation-safe).  Non-power-of-two n is padded to
+    the next power of two with all-ones sentinel keys (strictly greater
+    than every real key incl. the folded invalid flag) and sliced back --
+    exact, <= 2x lane overhead, still ~20x fewer HBM passes than XLA's
+    sort."""
     import os
 
     if os.environ.get("KMERS_TPU_NO_BITONIC"):
         return False
-    if n_extras or n < 512 or n & (n - 1):
+    if n_extras or n < 512:
         return False
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover - no backend at trace time
         return False
+
+
+def _bitonic_sort_padded(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
+                         interpret: bool = False):
+    """Flat u64 key sort via the Pallas bitonic kernel, any n >= 512."""
+    from ..kernels.sort import bitonic_sort_u64
+
+    n = key_hi.size
+    n_pad = 1 << (n - 1).bit_length()
+    if n_pad != n:
+        ones = jnp.full(n_pad - n, 0xFFFFFFFF, dtype=jnp.uint32)
+        key_hi = jnp.concatenate([key_hi, ones])
+        key_lo = jnp.concatenate([key_lo, ones])
+    s_hi, s_lo = bitonic_sort_u64(key_hi, key_lo, interpret=interpret)
+    return s_hi[:n], s_lo[:n]
 
 
 def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
@@ -91,11 +110,8 @@ def sort_by_word(words: U64, valid: jnp.ndarray, *extras,
         key_hi = words.hi | flag
         n = words.lo.shape[-1]
         if _bitonic_eligible(n, len(extras)):
-            from ..kernels.sort import bitonic_sort_u64
-
-            s_hi, s_lo = bitonic_sort_u64(key_hi.reshape(-1),
-                                          words.lo.reshape(-1))
-            out = (s_hi, s_lo)
+            out = _bitonic_sort_padded(key_hi.reshape(-1),
+                                       words.lo.reshape(-1))
         else:
             out = jax.lax.sort((key_hi, words.lo) + tuple(extras),
                                num_keys=2, is_stable=True)

@@ -54,3 +54,22 @@ def test_bitonic_rejects_bad_sizes():
     hi = jnp.zeros(768, jnp.uint32)       # not a power of two
     with pytest.raises(AssertionError):
         bitonic_sort_u64(hi, hi, interpret=True)
+
+
+@pytest.mark.parametrize("n", [768, 1000, 5000])
+def test_bitonic_padded_any_size(n):
+    """sort_by_word's non-power-of-two path: pad with all-ones sentinels
+    (strictly greater than every real key incl. the folded invalid flag),
+    sort, slice -- exact vs lax.sort at any n."""
+    from kmers_tpu.parallel.count import _bitonic_sort_padded
+
+    hi, lo = _rand_pairs(n)
+    # include real lanes equal to the sentinel: the slice may keep either
+    # copy -- they are bit-identical, so output must still be byte-equal
+    hi[-3:] = 0xFFFFFFFF
+    lo[-3:] = 0xFFFFFFFF
+    sh, sl = _bitonic_sort_padded(jnp.asarray(hi), jnp.asarray(lo),
+                                  interpret=True)
+    eh, el = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(eh))
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(el))
