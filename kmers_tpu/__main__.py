@@ -28,6 +28,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 
 def _cmd_count(args) -> int:
+    import signal
+    import traceback
+
     from .io import fastx
     from .parallel.stream import ShardedStreamingCounter, StreamingCounter
 
@@ -41,16 +44,19 @@ def _cmd_count(args) -> int:
         return StreamingCounter(args.k, args.capacity,
                                 merge_every=args.merge_every)
 
-    # np.savez appends .npz when the path lacks it; check both spellings so
-    # `-o counts --resume` finds the checkpoint savez actually wrote
-    ckpt_exists = (os.path.exists(args.output)
-                   or os.path.exists(args.output + ".npz"))
-    if args.resume and ckpt_exists:
+    def load_counter(resuming: bool):
+        """(counter, batches_to_skip), from the checkpoint if one exists.
+
+        np.savez appends .npz when the path lacks it; check both spellings
+        so `-o counts --resume` finds the checkpoint savez actually wrote."""
+        ckpt_exists = (os.path.exists(args.output)
+                       or os.path.exists(args.output + ".npz"))
+        if not (resuming and ckpt_exists):
+            return make_counter(), 0
         loaded = StreamingCounter.load(args.output)
         if loaded.k != args.k:
-            print(f"error: checkpoint has k={loaded.k}, requested k={args.k}",
-                  file=sys.stderr)
-            return 2
+            raise SystemExit(
+                f"error: checkpoint has k={loaded.k}, requested k={args.k}")
         if args.devices > 1:
             # transplant the flat checkpoint state into a sharded counter
             # (the merged table is a valid merge input either way)
@@ -62,35 +68,93 @@ def _cmd_count(args) -> int:
         else:
             sc = loaded
             sc.merge_every = max(1, args.merge_every)
-        skip = sc.batches
-        print(f"resuming from {args.output}: {skip} batches, "
+        print(f"resuming from {args.output}: {sc.batches} batches, "
               f"{sc.kmers} kmers", file=sys.stderr)
-    else:
-        sc = make_counter()
-        skip = 0
+        return sc, sc.batches
 
-    t0 = time.time()
-    seen = 0
-    # packed ingest (2-bit words + validity bitmaps, ~2.7x less upload) +
-    # background parse thread; ASCII fallback for length % 32 != 0
-    use_packed = args.length % 32 == 0 and not args.ascii_ingest
-    if use_packed:
-        it = fastx.read_packed_batches(args.input, k=args.k,
-                                       batch=args.batch, length=args.length)
-    else:
-        it = fastx.read_kmer_batches(args.input, k=args.k,
-                                     batch=args.batch, length=args.length)
-    for item in fastx.prefetch(it):
-        seen += 1
-        if seen <= skip:
-            continue
+    def stream(sc, skip: int) -> None:
+        """One pass over the file, skipping `skip` already-counted batches.
+        Packed ingest (2-bit words + validity bitmaps, ~2.7x less upload) +
+        background parse thread; ASCII fallback for length % 32 != 0."""
+        use_packed = args.length % 32 == 0 and not args.ascii_ingest
         if use_packed:
-            sc.update_packed(*item)
+            it = fastx.read_packed_batches(args.input, k=args.k,
+                                           batch=args.batch,
+                                           length=args.length)
         else:
-            sc.update(item)
-        if args.checkpoint_every and sc.batches % args.checkpoint_every == 0:
+            it = fastx.read_kmer_batches(args.input, k=args.k,
+                                         batch=args.batch,
+                                         length=args.length)
+        seen = 0
+        for item in fastx.prefetch(it):
+            seen += 1
+            if seen <= skip:
+                continue
+            if use_packed:
+                sc.update_packed(*item)
+            else:
+                sc.update(item)
+            if (args.checkpoint_every
+                    and sc.batches % args.checkpoint_every == 0):
+                sc.save(args.output)
+
+    def emergency_save(sc) -> bool:
+        """Best-effort durable checkpoint after a failure: pending
+        (unconsolidated) batches roll back first so the saved batch count
+        matches the table, then the table is flushed if the device still
+        answers."""
+        sc.discard_pending()
+        try:
             sc.save(args.output)
-    sc.save(args.output)
+            return True
+        except Exception:
+            return False
+
+    try:
+        sc, skip = load_counter(args.resume)
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
+
+    # failure detection + elastic recovery (SURVEY.md §5.3): SIGTERM lands
+    # as KeyboardInterrupt -> graceful checkpoint; any other mid-stream
+    # error auto-saves and restarts in-process from the checkpoint (the
+    # skip fast-forwards the file, so a restart recounts only lost batches)
+    def _graceful(_signum, _frame):
+        raise KeyboardInterrupt
+
+    prev_term = signal.signal(signal.SIGTERM, _graceful)
+    t0 = time.time()
+    restarts = 0
+    try:
+        while True:
+            try:
+                stream(sc, skip)
+                sc.save(args.output)
+                break
+            except KeyboardInterrupt:
+                saved = emergency_save(sc)
+                print(f"interrupted: {'checkpoint saved to ' + args.output if saved else 'checkpoint save FAILED'}"
+                      f" ({sc.batches} batches); re-run with --resume",
+                      file=sys.stderr)
+                return 130
+            except Exception:
+                traceback.print_exc()
+                saved = emergency_save(sc)
+                print(f"stream failed after {sc.batches} batches "
+                      f"(checkpoint {'saved' if saved else 'save FAILED'})",
+                      file=sys.stderr)
+                if restarts >= args.max_restarts:
+                    print(f"giving up after {restarts} restarts; "
+                          f"re-run with --resume to continue",
+                          file=sys.stderr)
+                    return 4
+                restarts += 1
+                print(f"restart {restarts}/{args.max_restarts} from the "
+                      f"last checkpoint", file=sys.stderr)
+                sc, skip = load_counter(resuming=True)
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
     dt = time.time() - t0
     print(f"{sc.kmers} kmers ({int(sc.table.n_unique)} distinct) "
           f"from {sc.batches} batches in {dt:.1f}s "
@@ -192,6 +256,10 @@ def main(argv=None) -> int:
                    help="save every N batches (enables --resume)")
     c.add_argument("--resume", action="store_true",
                    help="resume from an existing output checkpoint")
+    c.add_argument("--max-restarts", type=int, default=2,
+                   help="on a mid-stream failure, auto-save a checkpoint "
+                        "and restart in-process up to N times (0 = save "
+                        "and exit 4)")
     c.add_argument("--ascii-ingest", action="store_true",
                    help="upload raw ASCII instead of 2-bit packed batches "
                         "(debug/compare; ~2.7x more upload traffic)")

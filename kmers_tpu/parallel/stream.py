@@ -35,6 +35,7 @@ LSB-first packing), mirroring the reference's serde support
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -214,6 +215,16 @@ class StreamingCounter:
         self.dropped_unique += int(du)
         self.dropped_kmers += int(dk)
 
+    def discard_pending(self) -> None:
+        """Roll back unconsolidated per-batch tables after a mid-stream
+        failure: the batch counter rewinds with them, so a resume (which
+        skips `batches` input batches) recounts exactly the dropped ones.
+        The consolidated table is untouched -- state stays consistent even
+        if the failure interrupted a half-absorbed batch (SURVEY.md §5.3)."""
+        self.batches -= len(self._pending)
+        self._pending = []
+        self._pending_kmers = []
+
     def lookup(self, words) -> jnp.ndarray:
         """Counts for query words: U64 (k <= 32) or U128 (k > 32)."""
         self._consolidate()
@@ -235,6 +246,10 @@ class StreamingCounter:
     # -- checkpoint / resume --------------------------------------------------
 
     def save(self, path: str) -> None:
+        """Atomic checkpoint: the table lands at `path` (.npz appended if
+        missing) via a same-directory temp file + os.replace, so a crash or
+        SIGKILL mid-write can never leave a truncated checkpoint -- the
+        previous complete one survives (elastic recovery depends on this)."""
         self._consolidate()
         if self.wide:
             key_arrays = dict(
@@ -246,8 +261,10 @@ class StreamingCounter:
             key_arrays = dict(
                 keys_hi=np.asarray(self.table.keys.hi, dtype="<u4"),
                 keys_lo=np.asarray(self.table.keys.lo, dtype="<u4"))
+        final = path if path.endswith(".npz") else path + ".npz"
+        tmp = final + ".tmp.npz"
         np.savez(
-            path,
+            tmp,
             counts=np.asarray(self.table.counts, dtype="<i4"),
             n_unique=np.int64(int(self.table.n_unique)),
             k=np.int64(self.k),
@@ -258,6 +275,7 @@ class StreamingCounter:
             dropped_kmers=np.int64(self.dropped_kmers),
             **key_arrays,
         )
+        os.replace(tmp, final)
 
     @staticmethod
     def load(path: str) -> "StreamingCounter":
@@ -362,6 +380,10 @@ class ShardedStreamingCounter(StreamingCounter):
         self._pending_overflow.append(
             (res.metrics["route_overflow"], res.metrics["route_rerouted"]))
         self._absorb(res)
+
+    def discard_pending(self) -> None:
+        super().discard_pending()
+        self._pending_overflow = []
 
     def _consolidate(self) -> None:
         for ov, rr in self._pending_overflow:

@@ -53,10 +53,12 @@ def test_cli_resume_k_mismatch(fasta, tmp_path):
     assert main(["count", path, "-k", "17", "-o", out, "--resume"]) == 2
 
 
-def test_cli_crash_resume_failure_injection(fasta, tmp_path, monkeypatch):
-    """Elastic-recovery path: a simulated crash mid-run (update() raises
-    after N batches) loses only un-checkpointed work; --resume from the
-    last checkpoint reproduces the uncrashed table exactly."""
+def test_cli_crash_autorestart_failure_injection(fasta, tmp_path,
+                                                 monkeypatch):
+    """Elastic recovery (SURVEY.md §5.3): a transient mid-run fault
+    (update() raises once) is detected, a checkpoint auto-saves, and the
+    run restarts in-process and completes with the exact uncrashed table
+    -- no human re-invocation."""
     from kmers_tpu.parallel.stream import StreamingCounter
 
     path, _recs = fasta
@@ -78,16 +80,109 @@ def test_cli_crash_resume_failure_injection(fasta, tmp_path, monkeypatch):
         return real_absorb(self, res)
 
     monkeypatch.setattr(StreamingCounter, "_absorb", flaky_absorb)
-    with pytest.raises(RuntimeError, match="injected fault"):
-        main(["count", path, "-o", crash_out] + args)
-    monkeypatch.setattr(StreamingCounter, "_absorb", real_absorb)
+    assert main(["count", path, "-o", crash_out] + args) == 0
+    assert calls["n"] > 3, "the restarted stream never resumed counting"
 
-    # the crash left a valid checkpoint of the first 2 batches
+    import numpy as np
+
+    a, b = np.load(clean_out), np.load(crash_out)
+    for key in ("keys_hi", "keys_lo", "counts", "n_unique", "kmers"):
+        np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_cli_persistent_fault_saves_and_exits(fasta, tmp_path, monkeypatch):
+    """A fault that survives every restart exhausts --max-restarts, leaves
+    a durable checkpoint of the completed batches, and exits 4; a later
+    --resume run finishes with the exact table."""
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    path, _recs = fasta
+    clean_out = str(tmp_path / "clean.npz")
+    crash_out = str(tmp_path / "crash.npz")
+    args = ["-k", "15", "--batch", "4", "--length", "96",
+            "--checkpoint-every", "1", "--capacity", "4096"]
+    assert main(["count", path, "-o", clean_out] + args) == 0
+
+    real_absorb = StreamingCounter._absorb
+
+    def dying_absorb(self, res):
+        if self.batches >= 2:
+            raise RuntimeError("injected persistent fault")
+        return real_absorb(self, res)
+
+    monkeypatch.setattr(StreamingCounter, "_absorb", dying_absorb)
+    assert main(["count", path, "-o", crash_out, "--max-restarts", "1"]
+                + args) == 4
+    monkeypatch.setattr(StreamingCounter, "_absorb", real_absorb)
     assert main(["count", path, "-o", crash_out, "--resume"] + args) == 0
 
     import numpy as np
 
     a, b = np.load(clean_out), np.load(crash_out)
+    for key in ("keys_hi", "keys_lo", "counts", "n_unique", "kmers"):
+        np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_cli_sigkill_resume(fasta, tmp_path):
+    """Kill-and-resume (VERDICT r2 item 7b): SIGKILL the counting process
+    mid-run (no chance to trap anything), then --resume from the periodic
+    checkpoint; the final table is byte-identical to an uninterrupted run."""
+    import os
+    import signal
+    import subprocess
+    import time
+
+    import numpy as np
+
+    path, _recs = fasta
+    clean_out = str(tmp_path / "clean.npz")
+    kill_out = str(tmp_path / "killed.npz")
+    args = ["-k", "15", "--batch", "2", "--length", "96",
+            "--checkpoint-every", "1", "--capacity", "4096"]
+    assert main(["count", path, "-o", clean_out] + args) == 0
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # slow the stream enough that the kill lands mid-run: a tiny sitecustomize
+    # injects a delay into every _absorb call of the child only
+    hook_dir = tmp_path / "hook"
+    hook_dir.mkdir()
+    (hook_dir / "sitecustomize.py").write_text(
+        "import time\n"
+        "import kmers_tpu.parallel.stream as s\n"
+        "_real = s.StreamingCounter._absorb\n"
+        "def slow(self, res):\n"
+        "    time.sleep(0.4)\n"
+        "    return _real(self, res)\n"
+        "s.StreamingCounter._absorb = slow\n")
+    env["PYTHONPATH"] = f"{hook_dir}{os.pathsep}" + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kmers_tpu", "count", path, "-o", kill_out]
+        + args, env=env, stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 120
+        ckpt = kill_out if os.path.exists(kill_out) else kill_out + ".npz"
+        while time.time() < deadline:
+            if os.path.exists(kill_out) or os.path.exists(ckpt):
+                break
+            if proc.poll() is not None:
+                pytest.fail("child exited before writing any checkpoint")
+            time.sleep(0.05)
+        else:
+            pytest.fail("no checkpoint appeared within 120s")
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+    assert proc.returncode == -signal.SIGKILL
+
+    saved = np.load(kill_out)
+    assert 0 < int(saved["batches"]) <= 10   # genuinely partial
+    assert main(["count", path, "-o", kill_out, "--resume"] + args) == 0
+
+    a, b = np.load(clean_out), np.load(kill_out)
     for key in ("keys_hi", "keys_lo", "counts", "n_unique", "kmers"):
         np.testing.assert_array_equal(a[key], b[key])
 
