@@ -242,10 +242,58 @@ def generic_layer_bench():
              f"N={N}")
 
 
+def ablation():
+    """Roofline ablation (VERDICT r2 item 5): the same fused window kernel
+    at three compute depths / two output widths.  Comparing measured rates
+    against the HBM-traffic model and the VPU-op model tells which ceiling
+    actually binds the headline kernel:
+
+      arm      HBM B/lane (kernel+chain)   ~VPU ops/lane
+      full     18 + 5 = 23                 ~120
+      canon     9 + 5 = 14                 ~90
+      pack      9 + 5 = 14                 ~55
+
+    If HBM-bound: canon/full = 23/14 = 1.64x, pack/canon = 1.00x.
+    If VPU-bound: canon/full = 120/90 = 1.33x, pack/canon = 90/55 = 1.64x.
+    The measured pattern is recorded in BASELINE.md next to the headline's
+    vs_baseline so the 23 B/lane traffic model is anchored to evidence."""
+    from kmers_tpu.kernels import window as kwin
+
+    K, B, L = 31, 2048, 1024
+
+    def arm_full(reads):
+        _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, K)
+        return benchlib.ascii_from_codes(hash_lo)
+
+    def arm_canon(reads):
+        _, key_lo = kwin.pack_canonical_keys(reads, K, stage="canon")
+        return benchlib.ascii_from_codes(key_lo)
+
+    def arm_pack(reads):
+        _, key_lo = kwin.pack_canonical_keys(reads, K, stage="pack")
+        return benchlib.ascii_from_codes(key_lo)
+
+    n = B * (L - K + 1)
+    reads0 = first_reads(B, L, 9)
+    rates = {}
+    for name, fn, bytes_lane, ops in (("full", arm_full, 23, 120),
+                                      ("canon", arm_canon, 14, 90),
+                                      ("pack", arm_pack, 14, 55)):
+        rates[name] = benchlib.chain_rate(fn, reads0, n)
+        emit(f"ablate_{name}_k31", rates[name], "kmers/s",
+             f"model: {bytes_lane} B/lane, ~{ops} VPU ops/lane")
+    emit("ablate_canon_over_full", rates["canon"] / rates["full"], "x",
+         "HBM-bound predicts 1.64, VPU-bound predicts 1.33")
+    emit("ablate_pack_over_canon", rates["pack"] / rates["canon"], "x",
+         "HBM-bound predicts 1.00, VPU-bound predicts 1.64")
+
+
 if __name__ == "__main__":
     if "--lengths" in sys.argv:
         length_matrix()
     elif "--generic" in sys.argv:
         generic_layer_bench()
+    elif "--ablate" in sys.argv:
+        ablation()
     else:
         main()

@@ -56,9 +56,18 @@ def _roll_left(a: jnp.ndarray, s: int) -> jnp.ndarray:
     return pltpu.roll(a, shift=L - s, axis=len(a.shape) - 1)
 
 
-def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
-                   hash_hi_ref, hash_lo_ref, valid_ref, *, k: int, seed: int):
-    ascii_u8 = reads_ref[:]
+def _window_body(ascii_u8, k: int, seed: int, stage: str):
+    """Shared on-chip pipeline: ASCII -> packed window words [-> canonical
+    [-> hash]].  stage selects how deep to compute:
+
+      "pack"  -> (fw_hi, fw_lo, v)            ~55 VPU ops/lane
+      "canon" -> (canon_hi, canon_lo, v)      ~90 VPU ops/lane
+      "full"  -> (canon_hi, canon_lo, h_hi, h_lo, v)   ~120 VPU ops/lane
+
+    The graded stages exist for the roofline ablation (BASELINE.md): with
+    output bytes held constant across "pack"/"canon", rate differences
+    isolate compute cost; with compute held constant, output-set
+    differences isolate HBM traffic."""
     BB, L = ascii_u8.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
 
@@ -100,6 +109,9 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
         got += step
     v = v & (iota < L - k + 1).astype(jnp.uint32)
 
+    if stage == "pack":
+        return hi, lo, v
+
     # reverse complement: complement, 4-step in-lane ladder, (hi,lo) swap,
     # shift down to k bases (naive_impl/kmer.rs:124-136)
     def ladder(x):
@@ -127,6 +139,9 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
     canon_hi = jnp.where(fw_smaller, hi, rc_hi)
     canon_lo = jnp.where(fw_smaller, lo, rc_lo)
 
+    if stage == "canon":
+        return canon_hi, canon_lo, v
+
     # mixer hash (bit-identical to core.u64.mix_hash)
     def mix32(x):
         x = x ^ (x >> 16)
@@ -139,13 +154,33 @@ def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
     s_hi = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
     h_lo = mix32(canon_lo ^ mix32(canon_hi ^ s_lo))
     h_hi = mix32(canon_hi ^ mix32(canon_lo ^ s_hi ^ jnp.uint32(0x9E3779B9)))
+    return canon_hi, canon_lo, h_hi, h_lo, v
 
+
+def _window_kernel(reads_ref, canon_hi_ref, canon_lo_ref,
+                   hash_hi_ref, hash_lo_ref, valid_ref, *, k: int, seed: int):
+    canon_hi, canon_lo, h_hi, h_lo, v = _window_body(
+        reads_ref[:], k, seed, "full")
     vmask = jnp.uint32(0) - v          # v in {0,1}: 0 or all-ones
     canon_hi_ref[:] = canon_hi & vmask
     canon_lo_ref[:] = canon_lo & vmask
     hash_hi_ref[:] = h_hi & vmask
     hash_lo_ref[:] = h_lo & vmask
     valid_ref[:] = v.astype(jnp.uint8)
+
+
+def _folded_kernel(reads_ref, key_hi_ref, key_lo_ref, *, k: int, seed: int,
+                   stage: str):
+    """Counting-consumer emission: 2 uint32 planes instead of 4 + a valid
+    byte.  The invalid flag folds into bit 31 of the hi word (structurally
+    clear for k <= 31: hi holds at most 2k-32 <= 30 bits), which is exactly
+    the spare-bit key layout parallel.count.sort_by_word(spare_hi_bit=True)
+    sorts on.  HBM out drops 17 -> 8 B/lane."""
+    out = _window_body(reads_ref[:], k, seed, stage)
+    hi, lo, v = out[0], out[1], out[-1]
+    vmask = jnp.uint32(0) - v
+    key_hi_ref[:] = (hi & vmask) | ((v ^ jnp.uint32(1)) << 31)
+    key_lo_ref[:] = lo & vmask
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seed", "block_rows",
@@ -175,5 +210,38 @@ def pack_canonical_hash(reads: jnp.ndarray, k: int, seed: int = 0,
         in_specs=[spec],
         out_specs=(spec, spec, spec, spec, spec),
         out_shape=(out32, out32, out32, out32, out8),
+        interpret=interpret,
+    )(reads)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stage", "block_rows",
+                                             "interpret"))
+def pack_canonical_keys(reads: jnp.ndarray, k: int, stage: str = "canon",
+                        block_rows: int = 256, interpret: bool = False):
+    """Counting-consumer variant of the window kernel (k <= 31): returns
+    (key_hi, key_lo) [B, L] uint32 with the INVALID flag folded into bit 31
+    of key_hi -- the exact spare-bit sort-key layout of
+    parallel.count.sort_by_word(spare_hi_bit=True).  8 B/lane of output vs
+    the full kernel's 17 (VERDICT r2 item 5: cut output traffic for the
+    counting consumer).
+
+    stage="canon" keys are the canonical k-mer word; stage="pack" stops at
+    the forward window word (the roofline ablation's compute-light arm).
+    Valid lanes match the jnp path bit-for-bit; invalid lanes are exactly
+    0x80000000 / 0.
+    """
+    assert 1 <= k <= 31, "bit 31 of hi must be structurally clear"
+    assert stage in ("pack", "canon")
+    B, L = reads.shape
+    bb = min(block_rows, B)
+    assert B % bb == 0, (B, bb)
+    spec = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_folded_kernel, k=k, seed=0, stage=stage),
+        grid=(B // bb,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(out32, out32),
         interpret=interpret,
     )(reads)

@@ -54,6 +54,36 @@ def test_window_kernel_multiblock_grid():
     assert_window_outputs_match(got, reads, k, 0)
 
 
+@pytest.mark.parametrize("stage", ["pack", "canon"])
+@pytest.mark.parametrize("k", [5, 16, 17, 31])
+def test_pack_canonical_keys_matches_jnp(stage, k):
+    """Folded-key counting variant: bit 31 of hi = invalid flag, valid
+    lanes bit-identical to the jnp window path, invalid lanes exactly
+    (0x80000000, 0)."""
+    B, L = 8, 256
+    reads = make_reads(B, L)
+    key_hi, key_lo = kwin.pack_canonical_keys(reads, k, stage=stage,
+                                              block_rows=8, interpret=True)
+    key_hi, key_lo = np.asarray(key_hi), np.asarray(key_lo)
+    win = kmer_ops.kmer_windows(reads, k)
+    want = (kmer_ops.canonical_word(win.fw, win.rc) if stage == "canon"
+            else win.fw)
+    v = np.asarray(win.valid)
+    np.testing.assert_array_equal(key_hi[v], np.asarray(want.hi)[v])
+    np.testing.assert_array_equal(key_lo[v], np.asarray(want.lo)[v])
+    assert (key_hi[~v] == 0x80000000).all()
+    assert (key_lo[~v] == 0).all()
+    # the folded layout is sort_by_word's spare-bit key layout: sorting
+    # (key_hi, key_lo) puts valid lanes first in canonical order
+    from kmers_tpu.parallel.count import sort_by_word
+    from kmers_tpu.core.u64 import U64
+
+    sw, sv = sort_by_word(U64(jnp.asarray(key_hi.reshape(-1) & 0x7FFFFFFF),
+                              jnp.asarray(key_lo.reshape(-1))),
+                          jnp.asarray(v.reshape(-1)), spare_hi_bit=True)[:2]
+    assert int(np.asarray(sv).sum()) == v.sum()
+
+
 from kmers_tpu.kernels import minimizer as kmini
 from kmers_tpu.ops import hash as hash_ops
 from kmers_tpu.ops import minimizer as mini_ops
