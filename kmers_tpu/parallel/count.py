@@ -54,16 +54,21 @@ class CountTable(NamedTuple):
 
 
 def _bitonic_eligible(n: int, n_extras: int) -> bool:
-    """The Pallas bitonic sort applies: TPU backend, >= 512 lanes, no extra
-    payload operands (bitonic is unstable; the 2-word key is total, so
-    key-only sorts are permutation-safe).  Non-power-of-two n is padded to
-    the next power of two with all-ones sentinel keys (strictly greater
-    than every real key incl. the folded invalid flag) and sliced back --
-    exact, <= 2x lane overhead, still ~20x fewer HBM passes than XLA's
-    sort."""
+    """Whether to dispatch to the Pallas bitonic sort: TPU backend, >= 512
+    lanes, no extra payload operands (bitonic is unstable; the 2-word key
+    is total, so key-only sorts are permutation-safe).  Non-power-of-two n
+    is padded to the next power of two with all-ones sentinel keys
+    (strictly greater than every real key incl. the folded invalid flag)
+    and sliced back.
+
+    OPT-IN (KMERS_TPU_BITONIC=1) until it beats XLA: the loop-form kernel
+    measures 7.3 ms per 1M-lane sort vs lax.sort's 1.55 ms on v5e --
+    Mosaic's dynamic-stride sublane rotates cost ~10x a static roll, which
+    buries the 10-vs-114 HBM-pass win (BASELINE.md, 2026-08).  The static-
+    stride redesign is tracked in kernels/sort.py's docstring."""
     import os
 
-    if os.environ.get("KMERS_TPU_NO_BITONIC"):
+    if not os.environ.get("KMERS_TPU_BITONIC"):
         return False
     if n_extras or n < 512:
         return False
@@ -198,15 +203,66 @@ def count_words(words: U64, valid: jnp.ndarray,
     structurally-spare bit 31 of hi (see sort_by_word) -- same table,
     ~2x less sort traffic.  Leave None for unknown or k = 32 key spaces.
 
-    compact=False returns the run-length form (count_sorted_runs): half
-    the device cost, same information; use when the table feeds a merge
-    rather than direct indexed reads."""
+    compact=False returns a run-length form: half the device cost (or
+    far less -- see below), same information; use when the table feeds a
+    merge rather than direct indexed reads.  On TPU with k <= 31 the
+    run-length form comes from the segment-local Pallas kernel
+    (count_words_segmented): no global sort at all, keys sorted per
+    VMEM-resident segment -- a different but equally mergeable layout."""
+    if not compact and _segmented_eligible(max_k):
+        return count_words_segmented(words, valid)
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
     s, v, _ = sort_by_word(flat, valid.reshape(-1),
                            spare_hi_bit=max_k is not None and max_k <= 31)
     if compact:
         return count_sorted(s, v)
     return count_sorted_runs(s, v)
+
+
+def _segmented_eligible(max_k: Optional[int]) -> bool:
+    """Whether count_words(compact=False) may use the segment-local Pallas
+    kernel: TPU backend, spare bit 31 available (k <= 31), not disabled.
+    The segmented table is a different (equally valid) run-length layout:
+    sorted per segment instead of globally -- exact after any merge, but
+    n_unique counts (segment, key) runs, which upper-bounds distinct
+    keys."""
+    import os
+
+    if os.environ.get("KMERS_TPU_NO_SEGMENT"):
+        return False
+    if max_k is None or max_k > 31:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
+def count_words_segmented(words: U64, valid: jnp.ndarray,
+                          tile_lanes: int = 1 << 12,
+                          interpret: bool = False) -> CountTable:
+    """Run-length count table WITHOUT any global sort (k <= 31 keys):
+    fold the invalid flag into bit 31, then kernels/count_tile sorts and
+    run-length-encodes each tile_lanes segment entirely in VMEM.  The
+    global lax.sort (1.55 ms / 1M lanes on v5e -- the round-2 counting
+    bottleneck) disappears; a key contributes one live lane per segment
+    it appears in, which the consolidation's weighted re-count
+    (merge_many) resolves exactly at unchanged cost (it already sorts
+    every pending lane).  Capacity of the result is n padded up to a
+    segment multiple; padding lanes are dead (count 0)."""
+    from ..kernels.count_tile import segment_count_keys
+
+    v = valid.reshape(-1)
+    # invalid lanes must be EXACTLY (0x80000000, 0): the kernel's run
+    # detection and validity recovery key on that bit pattern
+    key_hi = jnp.where(v, words.hi.reshape(-1), 0) | jnp.where(
+        v, jnp.uint32(0), jnp.uint32(1) << 31)
+    key_lo = jnp.where(v, words.lo.reshape(-1), 0)
+    kh, kl, counts = segment_count_keys(key_hi, key_lo,
+                                        tile_lanes=tile_lanes,
+                                        interpret=interpret)
+    n_unique = (counts > 0).sum(dtype=jnp.int32)
+    return CountTable(keys=U64(kh, kl), counts=counts, n_unique=n_unique)
 
 
 def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,

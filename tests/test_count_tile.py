@@ -1,0 +1,100 @@
+"""Segment-local sort+count kernel (kernels/count_tile) vs numpy model,
+and the end-to-end property that matters: consolidating segmented
+per-batch tables yields the exact same compacted table as the
+global-sort path."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kmers_tpu.core.u64 import U64
+from kmers_tpu.kernels.count_tile import segment_count_keys
+from kmers_tpu.parallel import count as count_ops
+
+RNG = np.random.default_rng(4242)
+
+
+def _folded_keys(n, n_distinct=50, invalid_frac=0.1):
+    """Random folded keys: valid lanes draw from a small key universe (to
+    force duplicate runs), invalid lanes are exactly (0x80000000, 0)."""
+    uni_hi = RNG.integers(0, 1 << 30, n_distinct, dtype=np.uint32)
+    uni_lo = RNG.integers(0, 1 << 32, n_distinct, dtype=np.uint32)
+    pick = RNG.integers(0, n_distinct, n)
+    hi = uni_hi[pick].copy()
+    lo = uni_lo[pick].copy()
+    inv = RNG.random(n) < invalid_frac
+    hi[inv] = 0x80000000
+    lo[inv] = 0
+    return hi, lo, ~inv
+
+
+def _np_segment_model(hi, lo, valid, T):
+    """Per-segment: sort valid keys, run-length encode; model output."""
+    n = hi.size
+    n_pad = -(-n // T) * T
+    out_hi = np.zeros(n_pad, np.uint32)
+    out_lo = np.zeros(n_pad, np.uint32)
+    out_cnt = np.zeros(n_pad, np.int32)
+    for s0 in range(0, n_pad, T):
+        seg = slice(s0, min(s0 + T, n))
+        vh, vl = hi[seg][valid[seg]], lo[seg][valid[seg]]
+        keys = (vh.astype(np.uint64) << 32) | vl.astype(np.uint64)
+        keys.sort()
+        uk, counts = np.unique(keys, return_counts=True)
+        p = s0
+        pos = 0
+        for k, c in zip(uk, counts):
+            out_hi[p] = k >> 32
+            out_lo[p] = k & 0xFFFFFFFF
+            out_cnt[p] = c
+            p += c  # runs stay in place: start lane of each run
+        # non-start lanes within runs still hold the key value
+        ks = np.sort(keys)
+        out_hi[s0:s0 + ks.size] = (ks >> 32).astype(np.uint32)
+        out_lo[s0:s0 + ks.size] = (ks & 0xFFFFFFFF).astype(np.uint32)
+        del pos
+    return out_hi, out_lo, out_cnt
+
+
+@pytest.mark.parametrize("n,T", [(1024, 256), (4096, 1024), (5000, 1024),
+                                 (300, 256)])
+def test_segment_count_matches_model(n, T):
+    hi, lo, valid = _folded_keys(n)
+    kh, kl, cnt = segment_count_keys(jnp.asarray(hi), jnp.asarray(lo),
+                                     tile_lanes=T, interpret=True)
+    mh, ml, mc = _np_segment_model(hi, lo, valid, T)
+    np.testing.assert_array_equal(np.asarray(kh), mh)
+    np.testing.assert_array_equal(np.asarray(kl), ml)
+    np.testing.assert_array_equal(np.asarray(cnt), mc)
+
+
+def test_segment_counts_conserve_mass():
+    hi, lo, valid = _folded_keys(4096, n_distinct=11)
+    _, _, cnt = segment_count_keys(jnp.asarray(hi), jnp.asarray(lo),
+                                   tile_lanes=512, interpret=True)
+    assert int(np.asarray(cnt).sum()) == int(valid.sum())
+
+
+def test_segmented_table_merges_to_exact_counts():
+    """The property the streaming pipeline relies on: a segmented
+    run-length table fed through the weighted re-count (merge_many)
+    produces the exact same compacted table as the global-sort path."""
+    hi, lo, valid = _folded_keys(2048, n_distinct=37)
+    words = U64(jnp.asarray(hi & 0x7FFFFFFF), jnp.asarray(lo))
+    v = jnp.asarray(valid)
+
+    seg = count_ops.count_words_segmented(words, v, tile_lanes=256,
+                                          interpret=True)
+    merged = count_ops.merge_many([seg], max_k=31)
+    want = count_ops.count_words(words, v, max_k=31, compact=True)
+
+    nu = int(want.n_unique)
+    assert int(merged.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(merged.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(merged.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(merged.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+    # segmented n_unique counts (segment, key) runs: an upper bound
+    assert int(seg.n_unique) >= nu
