@@ -9,34 +9,44 @@ that is sorted WITHIN independent segments, with one run-length entry per
 (segment, key).  A key appearing in S segments costs S live lanes instead
 of 1; the consolidation sort already processes every lane of every
 pending table (dead or alive), so the merge cost is UNCHANGED while the
-per-batch cost drops from a global 2^20-lane u64 sort (lax.sort: 1.55 ms)
-to tile-local VMEM sorts that never leave the chip.
+per-batch cost drops from a global 2^20-lane u64 sort (lax.sort: 1.55 ms
+on v5e) to segment sorts that never leave VMEM.
 
-One kernel instance loads a [T] segment of folded keys into VMEM as
-[T/128, 128] and, entirely on-chip:
+Performance shape (hard-won; see BASELINE.md's counting profile):
 
-  1. sorts the segment with a static-stride bitonic network -- every
-     compare-exchange partner (index i ^ s) is two static ``pltpu.roll``s
-     (lane axis for s < 128, sublane axis above) + an iota select; levels
-     run under a ``lax.fori_loop`` with the level's unneeded large
-     strides masked off (static strides are ~10x faster than Mosaic's
-     dynamic rotates -- see kernels/sort.py -- at the price of running
-     log2(T) stages per level instead of log2(kk); tile sizes are small
-     enough that the waste is cheap);
-  2. marks run starts (valid lanes whose predecessor in linear order
-     differs);
-  3. computes each run's length as (next boundary - index) via a
-     log-depth suffix-min over boundary positions (static linear shifts);
-  4. emits (key_hi, key_lo, counts): counts > 0 exactly at run starts,
-     invalid/padding lanes emit (0, 0, 0).
+  * Segments are SMALL (default 1024 lanes) -- bitonic stage count is
+    log2(seg)*(log2(seg)+1)/2, so halving log2(seg) nearly halves the
+    arithmetic.  Cross-segment duplicate runs are the price, and they are
+    free at merge time (same lane count either way).
+  * Many segments are sorted SIMULTANEOUSLY in one wide [rows, 128]
+    block: a compare-exchange partner at stride s is two static
+    ``pltpu.roll``s over the whole block + an iota select, and because
+    segments are power-of-two aligned, the partner index i ^ s is always
+    IN-SEGMENT -- the select picks only in-segment values, so full-block
+    rolls never leak across segments.  Wide blocks keep every VPU op at
+    full (8, 128) occupancy; a first attempt with one 4096-lane segment
+    per program spent ~4x the vector-work time on short-vector issue
+    overhead (3.2 ms/1M lanes vs the ~0.8 ms this layout achieves).
+  * Static strides only: Mosaic's dynamic rotate costs ~10x a static
+    roll (kernels/sort.py measured 7.3 ms vs 1.55 ms for exactly this
+    reason).  Levels run under one ``fori_loop``; each level masks off
+    its inactive strides with a scalar AND folded into the take mask
+    (the rolls still execute -- log2(seg)^2 total stage executions
+    instead of the network's half, cheap at seg = 1024).
+  * All side/direction masks stay i1 via compares of int32 iotas and
+    &|~^ only -- Mosaic cannot lower i1-valued selects/i1==i1 compares.
+  * On ties (equal u64 keys) the exchange takes the partner: the values
+    are bit-identical, so the sorted output is unchanged and the compare
+    chain shortens to 5 ops.
 
-The invalid flag arrives folded into bit 31 of key_hi (the
-kernels/window.pack_canonical_keys / count.sort_by_word spare-bit layout,
-k <= 31 only), so invalid lanes sort to each segment's end by
-construction and the last valid run is closed by the first invalid lane.
+After the sort, run starts are neighbor-compares in segment-linear
+order, and each run's length is (next boundary - index) via a log-depth
+suffix-min over boundary positions -- all static linear shifts.
 
-All masks are int32 0/1 until the final u32 select (Mosaic cannot lower
-i1-valued selects); all shifts/rolls are static.
+The invalid flag arrives folded into bit 31 of key_hi
+(kernels/window.pack_canonical_keys / count.sort_by_word spare-bit
+layout, k <= 31 only), so invalid lanes sort to each segment's end by
+construction and the first invalid lane closes the last valid run.
 """
 
 from __future__ import annotations
@@ -54,62 +64,65 @@ INVALID_HI = 0x80000000      # folded key of an invalid / padding lane
                              # (key_lo = 0)
 
 
-def _static_stage(hi, lo, s: int, dir_up, row_iota, lane_iota):
-    """One compare-exchange at static stride s; dir_up int32 0/1 mask."""
-    R = hi.shape[0]
+def _partner(x, s: int, low_b):
+    """x at index (i ^ s), i = row-major linear index over [R, 128].
+    low_b = precomputed i1 mask ((i & s) == 0).  In-segment for any
+    power-of-two-aligned segmentation with s < segment size."""
+    R = x.shape[0]
     if s < LANES:
-        def partner(x):
-            plus = pltpu.roll(x, shift=LANES - s, axis=1)    # x[.., c + s]
-            minus = pltpu.roll(x, shift=s, axis=1)           # x[.., c - s]
-            return jnp.where((lane_iota & s) == 0, plus, minus)
-        is_low = 1 - ((lane_iota & s) >> (s.bit_length() - 1))
+        plus = pltpu.roll(x, shift=LANES - s, axis=1)        # x[.., c + s]
+        minus = pltpu.roll(x, shift=s, axis=1)               # x[.., c - s]
     else:
         sr = s // LANES
-        def partner(x):
-            plus = pltpu.roll(x, shift=R - sr, axis=0)       # x[r + sr, ..]
-            minus = pltpu.roll(x, shift=sr, axis=0)          # x[r - sr, ..]
-            return jnp.where((row_iota & sr) == 0, plus, minus)
-        is_low = 1 - ((row_iota & sr) >> (sr.bit_length() - 1))
-    p_hi, p_lo = partner(hi), partner(lo)
-    hi_eq = p_hi == hi
-    p_less = (p_hi < hi) | (hi_eq & (p_lo < lo))
-    p_greater = ~p_less & ~(hi_eq & (p_lo == lo))
-    want_less = (is_low ^ dir_up) == 0
-    take = (want_less & p_less) | (~want_less & p_greater)
-    return jnp.where(take, p_hi, hi), jnp.where(take, p_lo, lo)
+        plus = pltpu.roll(x, shift=R - sr, axis=0)           # x[r + sr, ..]
+        minus = pltpu.roll(x, shift=sr, axis=0)              # x[r - sr, ..]
+    return jnp.where(low_b, plus, minus)
 
 
-def _tile_sort(hi, lo, tile_lanes: int, idx, row_iota, lane_iota):
-    """Full ascending bitonic sort of one [R, 128] tile: fori over levels,
-    the level's inactive (too-large) static strides masked off."""
-    n_levels = tile_lanes.bit_length() - 1
+def _seg_sort(hi, lo, seg_lanes: int, seg_idx, row_iota, lane_iota):
+    """Ascending bitonic sort of every seg_lanes-aligned segment of the
+    block, all segments in parallel on full-width ops."""
+    n_levels = seg_lanes.bit_length() - 1
     strides = [1 << e for e in range(n_levels - 1, -1, -1)]
+    # hoisted per-stride masks: (i & s) == 0 -- partner side select AND
+    # the "low side of the pair" input to the direction logic
+    low_bs = {
+        s: ((lane_iota & s) == 0) if s < LANES
+        else ((row_iota & (s // LANES)) == 0)
+        for s in strides
+    }
 
     def level(l, carry):
         h, w = carry
         kk = jnp.int32(2) << l
-        dir_up = jnp.where((idx & kk) == 0, 1, 0)
+        dir_b = (seg_idx & kk) == 0          # ascending pair mask (i1)
         for s in strides:
-            h2, w2 = _static_stage(h, w, s, dir_up, row_iota, lane_iota)
-            act = jnp.int32(s) < kk
-            h = jnp.where(act, h2, h)
-            w = jnp.where(act, w2, w)
+            low_b = low_bs[s]
+            p_hi = _partner(h, s, low_b)
+            p_lo = _partner(w, s, low_b)
+            hi_eq = p_hi == h
+            p_le = (p_hi < h) | (hi_eq & ~(w < p_lo))    # partner <= mine
+            want_small = ~(low_b ^ dir_b)
+            act = jnp.int32(s) < kk                      # stage active?
+            take = ~(want_small ^ p_le) & act
+            h = jnp.where(take, p_hi, h)
+            w = jnp.where(take, p_lo, w)
         return h, w
 
     return jax.lax.fori_loop(0, n_levels, level, (hi, lo))
 
 
 def _lin_prev(x, lane_iota):
-    """value at linear index i-1 (row-major [R, 128]); i=0 gets wrapped
-    garbage -- callers mask it."""
+    """value at linear index i-1; i=0 gets wrapped garbage -- callers
+    mask it (segment starts are forced run starts anyway)."""
     lane = pltpu.roll(x, shift=1, axis=1)
     carried = pltpu.roll(lane, shift=1, axis=0)
     return jnp.where(lane_iota == 0, carried, lane)
 
 
-def _lin_next(x, s: int, fill, idx, lane_iota, tile_lanes: int):
-    """value at linear index i+s (static s, power of two); `fill` past the
-    tile end."""
+def _lin_next(x, s: int, fill, seg_idx, lane_iota, seg_lanes: int):
+    """value at linear index i+s (static power-of-two s < seg_lanes);
+    `fill` where i+s crosses the segment end."""
     R = x.shape[0]
     if s % LANES == 0:
         rolled = pltpu.roll(x, shift=R - s // LANES, axis=0)
@@ -120,60 +133,70 @@ def _lin_next(x, s: int, fill, idx, lane_iota, tile_lanes: int):
         plain = pltpu.roll(lane, shift=R - rows, axis=0) if rows else lane
         carried = pltpu.roll(lane, shift=R - rows - 1, axis=0)
         rolled = jnp.where(lane_iota >= LANES - sl, carried, plain)
-    return jnp.where(idx + s < tile_lanes, rolled, fill)
+    return jnp.where(seg_idx + s < seg_lanes, rolled, fill)
 
 
 def _count_tile_kernel(hi_ref, lo_ref, key_hi_out, key_lo_out, counts_out,
-                       *, tile_lanes: int):
+                       *, seg_lanes: int):
     hi, lo = hi_ref[:], lo_ref[:]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
     idx = row_iota * LANES + lane_iota
+    seg_idx = idx & jnp.int32(seg_lanes - 1)     # index within segment
 
-    hi, lo = _tile_sort(hi, lo, tile_lanes, idx, row_iota, lane_iota)
+    hi, lo = _seg_sort(hi, lo, seg_lanes, seg_idx, row_iota, lane_iota)
 
     valid = (hi >> 31) == 0              # folded flag: invalid sorts last
     p_hi = _lin_prev(hi, lane_iota)
     p_lo = _lin_prev(lo, lane_iota)
     neq = (p_hi != hi) | (p_lo != lo)
-    starts = valid & ((idx == 0) | neq)
+    starts = valid & ((seg_idx == 0) | neq)
 
-    # next run boundary after i (run starts and the first invalid lane are
-    # boundaries): suffix-min of boundary positions, then shift by one
-    T = tile_lanes
-    b_pos = jnp.where(starts | ~valid, idx, T)
+    # next run boundary after i within the segment (run starts and the
+    # first invalid lane are boundaries): suffix-min + shift by one
+    S = seg_lanes
+    b_pos = jnp.where(starts | ~valid, seg_idx, S)
     m = b_pos
     s = 1
-    while s < T:
-        m = jnp.minimum(m, _lin_next(m, s, jnp.int32(T), idx, lane_iota, T))
+    while s < S:
+        m = jnp.minimum(m, _lin_next(m, s, jnp.int32(S), seg_idx,
+                                     lane_iota, S))
         s *= 2
-    ns_excl = _lin_next(m, 1, jnp.int32(T), idx, lane_iota, T)
+    ns_excl = _lin_next(m, 1, jnp.int32(S), seg_idx, lane_iota, S)
 
-    counts_out[:] = (jnp.where(starts, ns_excl - idx, 0)).astype(jnp.int32)
+    counts_out[:] = (jnp.where(starts, ns_excl - seg_idx, 0)
+                     ).astype(jnp.int32)
     vmask = jnp.uint32(0) - valid.astype(jnp.uint32)
     key_hi_out[:] = hi & vmask           # clears the flag bit with it
     key_lo_out[:] = lo & vmask
 
 
-@functools.partial(jax.jit, static_argnames=("tile_lanes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("seg_lanes", "block_lanes",
+                                             "interpret"))
 def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
-                       tile_lanes: int = 1 << 12,
+                       seg_lanes: int = 1 << 10,
+                       block_lanes: int = 1 << 15,
                        interpret: bool = False):
     """Segment-local sort+count of flat folded keys (bit 31 of key_hi =
     invalid flag; invalid lanes must be exactly (0x80000000, 0)).
 
     Returns (keys_hi, keys_lo, counts), all [n_pad] with
-    n_pad = ceil(n / tile_lanes) * tile_lanes: within each tile_lanes
-    segment keys are sorted ascending (valid first), counts[i] > 0 exactly
-    at run starts and equals the run length within the segment; all other
-    lanes are (0, 0, 0).  The result is a valid run-length CountTable
-    payload for merge_many / count_weighted (live lanes = counts > 0); it
-    is NOT globally sorted -- a key may own one run per segment.
+    n_pad = ceil(n / block_lanes) * block_lanes: within each seg_lanes
+    segment keys are sorted ascending (valid first), counts[i] > 0
+    exactly at run starts and equals the run length within the segment;
+    all other lanes are (0, 0, 0).  The result is a valid run-length
+    CountTable payload for merge_many / count_weighted (live lanes =
+    counts > 0); it is NOT globally sorted -- a key may own one run per
+    segment it appears in.
+
+    block_lanes segments-per-program batching keeps every VPU op at full
+    width; both sizes must be powers of two, seg_lanes <= block_lanes.
     """
-    assert tile_lanes >= LANES and tile_lanes % LANES == 0
-    assert tile_lanes & (tile_lanes - 1) == 0
+    assert seg_lanes >= LANES and seg_lanes & (seg_lanes - 1) == 0
+    assert block_lanes % seg_lanes == 0
+    assert block_lanes & (block_lanes - 1) == 0
     n = key_hi.size
-    n_pad = -(-n // tile_lanes) * tile_lanes
+    n_pad = -(-n // block_lanes) * block_lanes
     if n_pad != n:
         pad_hi = jnp.full(n_pad - n, INVALID_HI, dtype=jnp.uint32)
         pad_lo = jnp.zeros(n_pad - n, dtype=jnp.uint32)
@@ -182,14 +205,14 @@ def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
     shape2d = (n_pad // LANES, LANES)
     hi2 = key_hi.reshape(shape2d)
     lo2 = key_lo.reshape(shape2d)
-    rows = tile_lanes // LANES
+    rows = block_lanes // LANES
     spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out32 = jax.ShapeDtypeStruct(shape2d, jnp.uint32)
     outi = jax.ShapeDtypeStruct(shape2d, jnp.int32)
     kh, kl, cnt = pl.pallas_call(
-        functools.partial(_count_tile_kernel, tile_lanes=tile_lanes),
-        grid=(n_pad // tile_lanes,),
+        functools.partial(_count_tile_kernel, seg_lanes=seg_lanes),
+        grid=(n_pad // block_lanes,),
         in_specs=[spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(out32, out32, outi),

@@ -239,7 +239,8 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
 
 
 def count_words_segmented(words: U64, valid: jnp.ndarray,
-                          tile_lanes: int = 1 << 12,
+                          seg_lanes: int = 1 << 10,
+                          block_lanes: int = 1 << 15,
                           interpret: bool = False) -> CountTable:
     """Run-length count table WITHOUT any global sort (k <= 31 keys):
     fold the invalid flag into bit 31, then kernels/count_tile sorts and
@@ -259,7 +260,8 @@ def count_words_segmented(words: U64, valid: jnp.ndarray,
         v, jnp.uint32(0), jnp.uint32(1) << 31)
     key_lo = jnp.where(v, words.lo.reshape(-1), 0)
     kh, kl, counts = segment_count_keys(key_hi, key_lo,
-                                        tile_lanes=tile_lanes,
+                                        seg_lanes=seg_lanes,
+                                        block_lanes=block_lanes,
                                         interpret=interpret)
     n_unique = (counts > 0).sum(dtype=jnp.int32)
     return CountTable(keys=U64(kh, kl), counts=counts, n_unique=n_unique)

@@ -28,10 +28,11 @@ def _folded_keys(n, n_distinct=50, invalid_frac=0.1):
     return hi, lo, ~inv
 
 
-def _np_segment_model(hi, lo, valid, T):
-    """Per-segment: sort valid keys, run-length encode; model output."""
+def _np_segment_model(hi, lo, valid, T, block):
+    """Per-segment: sort valid keys, run-length encode; model output.
+    Padding is block-granular (matches the kernel's pallas grid)."""
     n = hi.size
-    n_pad = -(-n // T) * T
+    n_pad = -(-n // block) * block
     out_hi = np.zeros(n_pad, np.uint32)
     out_lo = np.zeros(n_pad, np.uint32)
     out_cnt = np.zeros(n_pad, np.int32)
@@ -56,13 +57,17 @@ def _np_segment_model(hi, lo, valid, T):
     return out_hi, out_lo, out_cnt
 
 
-@pytest.mark.parametrize("n,T", [(1024, 256), (4096, 1024), (5000, 1024),
-                                 (300, 256)])
-def test_segment_count_matches_model(n, T):
+@pytest.mark.parametrize("n,S,B", [(1024, 256, 256), (4096, 1024, 2048),
+                                   (5000, 1024, 4096), (300, 256, 1024),
+                                   (8192, 128, 8192)])
+def test_segment_count_matches_model(n, S, B):
+    """Including blocks holding several segments (B > S): the full-width
+    rolls must never leak values across segment boundaries."""
     hi, lo, valid = _folded_keys(n)
     kh, kl, cnt = segment_count_keys(jnp.asarray(hi), jnp.asarray(lo),
-                                     tile_lanes=T, interpret=True)
-    mh, ml, mc = _np_segment_model(hi, lo, valid, T)
+                                     seg_lanes=S, block_lanes=B,
+                                     interpret=True)
+    mh, ml, mc = _np_segment_model(hi, lo, valid, S, B)
     np.testing.assert_array_equal(np.asarray(kh), mh)
     np.testing.assert_array_equal(np.asarray(kl), ml)
     np.testing.assert_array_equal(np.asarray(cnt), mc)
@@ -71,7 +76,8 @@ def test_segment_count_matches_model(n, T):
 def test_segment_counts_conserve_mass():
     hi, lo, valid = _folded_keys(4096, n_distinct=11)
     _, _, cnt = segment_count_keys(jnp.asarray(hi), jnp.asarray(lo),
-                                   tile_lanes=512, interpret=True)
+                                   seg_lanes=512, block_lanes=1024,
+                                   interpret=True)
     assert int(np.asarray(cnt).sum()) == int(valid.sum())
 
 
@@ -83,8 +89,8 @@ def test_segmented_table_merges_to_exact_counts():
     words = U64(jnp.asarray(hi & 0x7FFFFFFF), jnp.asarray(lo))
     v = jnp.asarray(valid)
 
-    seg = count_ops.count_words_segmented(words, v, tile_lanes=256,
-                                          interpret=True)
+    seg = count_ops.count_words_segmented(words, v, seg_lanes=256,
+                                          block_lanes=1024, interpret=True)
     merged = count_ops.merge_many([seg], max_k=31)
     want = count_ops.count_words(words, v, max_k=31, compact=True)
 
