@@ -84,20 +84,20 @@ def _seg_sort(hi, lo, seg_lanes: int, seg_idx, row_iota, lane_iota):
     block, all segments in parallel on full-width ops."""
     n_levels = seg_lanes.bit_length() - 1
     strides = [1 << e for e in range(n_levels - 1, -1, -1)]
-    # hoisted per-stride masks: (i & s) == 0 -- partner side select AND
-    # the "low side of the pair" input to the direction logic
-    low_bs = {
-        s: ((lane_iota & s) == 0) if s < LANES
-        else ((row_iota & (s // LANES)) == 0)
-        for s in strides
-    }
 
     def level(l, carry):
         h, w = carry
         kk = jnp.int32(2) << l
         dir_b = (seg_idx & kk) == 0          # ascending pair mask (i1)
         for s in strides:
-            low_b = low_bs[s]
+            # (i & s) == 0: partner-side select and the "low side of the
+            # pair" input to the direction logic.  Recomputed per stage
+            # ON PURPOSE: hoisting all log2(seg) masks out of the loop
+            # keeps them live across every fori iteration and pushed the
+            # Mosaic compile past 10 minutes on the remote relay; a
+            # 1-op compare per stage is free by comparison.
+            low_b = ((lane_iota & s) == 0 if s < LANES
+                     else (row_iota & (s // LANES)) == 0)
             p_hi = _partner(h, s, low_b)
             p_lo = _partner(w, s, low_b)
             hi_eq = p_hi == h
@@ -175,7 +175,7 @@ def _count_tile_kernel(hi_ref, lo_ref, key_hi_out, key_lo_out, counts_out,
                                              "interpret"))
 def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
                        seg_lanes: int = 1 << 10,
-                       block_lanes: int = 1 << 15,
+                       block_lanes: int = 1 << 14,
                        interpret: bool = False):
     """Segment-local sort+count of flat folded keys (bit 31 of key_hi =
     invalid flag; invalid lanes must be exactly (0x80000000, 0)).

@@ -240,7 +240,7 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
 
 def count_words_segmented(words: U64, valid: jnp.ndarray,
                           seg_lanes: int = 1 << 10,
-                          block_lanes: int = 1 << 15,
+                          block_lanes: int = 1 << 14,
                           interpret: bool = False) -> CountTable:
     """Run-length count table WITHOUT any global sort (k <= 31 keys):
     fold the invalid flag into bit 31, then kernels/count_tile sorts and

@@ -399,7 +399,7 @@ class ShardedStreamingCounter(StreamingCounter):
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
                 length: int = 256,
                 counter: Optional[StreamingCounter] = None,
-                packed: bool = True, prefetch_depth: int = 2,
+                packed: bool = True, prefetch_depth: int = 0,
                 devices: int = 1, route_capacity: int = 4096,
                 route_passes: int = 1) -> StreamingCounter:
     """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
