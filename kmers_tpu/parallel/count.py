@@ -238,8 +238,17 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
         return False
 
 
+def _seg_lanes_default() -> int:
+    """Segment size knob (KMERS_TPU_SEG_LANES, default 1024): smaller
+    segments cost fewer bitonic stages but more cross-segment duplicate
+    runs (free at merge time) -- tune per workload if needed."""
+    import os
+
+    return int(os.environ.get("KMERS_TPU_SEG_LANES", 1 << 10))
+
+
 def count_words_segmented(words: U64, valid: jnp.ndarray,
-                          seg_lanes: int = 1 << 10,
+                          seg_lanes: Optional[int] = None,
                           block_lanes: int = 1 << 14,
                           interpret: bool = False) -> CountTable:
     """Run-length count table WITHOUT any global sort (k <= 31 keys):
@@ -259,10 +268,10 @@ def count_words_segmented(words: U64, valid: jnp.ndarray,
     key_hi = jnp.where(v, words.hi.reshape(-1), 0) | jnp.where(
         v, jnp.uint32(0), jnp.uint32(1) << 31)
     key_lo = jnp.where(v, words.lo.reshape(-1), 0)
-    kh, kl, counts = segment_count_keys(key_hi, key_lo,
-                                        seg_lanes=seg_lanes,
-                                        block_lanes=block_lanes,
-                                        interpret=interpret)
+    kh, kl, counts = segment_count_keys(
+        key_hi, key_lo,
+        seg_lanes=seg_lanes if seg_lanes is not None else _seg_lanes_default(),
+        block_lanes=block_lanes, interpret=interpret)
     n_unique = (counts > 0).sum(dtype=jnp.int32)
     return CountTable(keys=U64(kh, kl), counts=counts, n_unique=n_unique)
 
