@@ -192,7 +192,9 @@ def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
     block_lanes segments-per-program batching keeps every VPU op at full
     width; both sizes must be powers of two, seg_lanes <= block_lanes.
     """
-    assert seg_lanes >= LANES and seg_lanes & (seg_lanes - 1) == 0
+    # seg < 128 is fine: sub-row segments stay aligned, so lane-axis
+    # rolls + iota selects still never cross a segment boundary
+    assert seg_lanes >= 8 and seg_lanes & (seg_lanes - 1) == 0
     assert block_lanes % seg_lanes == 0
     assert block_lanes & (block_lanes - 1) == 0
     n = key_hi.size

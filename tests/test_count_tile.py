@@ -59,7 +59,8 @@ def _np_segment_model(hi, lo, valid, T, block):
 
 @pytest.mark.parametrize("n,S,B", [(1024, 256, 256), (4096, 1024, 2048),
                                    (5000, 1024, 4096), (300, 256, 1024),
-                                   (8192, 128, 8192)])
+                                   (8192, 128, 8192), (2048, 64, 1024),
+                                   (2048, 32, 2048)])
 def test_segment_count_matches_model(n, S, B):
     """Including blocks holding several segments (B > S): the full-width
     rolls must never leak values across segment boundaries."""
