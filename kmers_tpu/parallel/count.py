@@ -239,12 +239,12 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
 
 
 def _seg_lanes_default() -> int:
-    """Segment size knob (KMERS_TPU_SEG_LANES, default 128): smaller
+    """Segment size knob (KMERS_TPU_SEG_LANES, default 64): smaller
     segments cost fewer bitonic stages but more cross-segment duplicate
     runs (free at merge time) -- tune per workload if needed."""
     import os
 
-    return int(os.environ.get("KMERS_TPU_SEG_LANES", 1 << 7))
+    return int(os.environ.get("KMERS_TPU_SEG_LANES", 1 << 6))
 
 
 def count_words_segmented(words: U64, valid: jnp.ndarray,
