@@ -72,10 +72,18 @@ def _cmd_count(args) -> int:
               f"{sc.kmers} kmers", file=sys.stderr)
         return sc, sc.batches
 
+    # Whether THIS run has successfully written args.output (checkpoint or
+    # emergency save).  The in-process restart path may trust an existing
+    # output file only if we wrote it (or the user explicitly passed
+    # --resume): otherwise a stale table from an earlier unrelated run
+    # would be silently merged and its batch count skipped (ADVICE r3).
+    wrote_output = False
+
     def stream(sc, skip: int) -> None:
         """One pass over the file, skipping `skip` already-counted batches.
         Packed ingest (2-bit words + validity bitmaps, ~2.7x less upload) +
         background parse thread; ASCII fallback for length % 32 != 0."""
+        nonlocal wrote_output
         use_packed = args.length % 32 == 0 and not args.ascii_ingest
         if use_packed:
             it = fastx.read_packed_batches(args.input, k=args.k,
@@ -97,15 +105,18 @@ def _cmd_count(args) -> int:
             if (args.checkpoint_every
                     and sc.batches % args.checkpoint_every == 0):
                 sc.save(args.output)
+                wrote_output = True
 
     def emergency_save(sc) -> bool:
         """Best-effort durable checkpoint after a failure: pending
         (unconsolidated) batches roll back first so the saved batch count
         matches the table, then the table is flushed if the device still
         answers."""
+        nonlocal wrote_output
         sc.discard_pending()
         try:
             sc.save(args.output)
+            wrote_output = True
             return True
         except Exception:
             return False
@@ -150,9 +161,11 @@ def _cmd_count(args) -> int:
                           file=sys.stderr)
                     return 4
                 restarts += 1
-                print(f"restart {restarts}/{args.max_restarts} from the "
-                      f"last checkpoint", file=sys.stderr)
-                sc, skip = load_counter(resuming=True)
+                trust_ckpt = args.resume or wrote_output
+                print(f"restart {restarts}/{args.max_restarts} from "
+                      f"{'the last checkpoint' if trust_ckpt else 'scratch'}",
+                      file=sys.stderr)
+                sc, skip = load_counter(resuming=trust_ckpt)
     finally:
         signal.signal(signal.SIGTERM, prev_term)
     dt = time.time() - t0

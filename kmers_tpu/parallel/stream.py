@@ -196,9 +196,6 @@ class StreamingCounter:
     def _consolidate(self) -> None:
         if not self._pending:
             return
-        for km in self._pending_kmers:
-            self.kmers += int(km)
-        self._pending_kmers = []
         pending = list(self._pending)
         # pad to merge_every with empty same-shaped tables so every
         # consolidation compiles to ONE executable (a partial final merge
@@ -209,11 +206,23 @@ class StreamingCounter:
             empty = jax.tree.map(jnp.zeros_like, pending[0])
             pending += [empty] * (self.merge_every - len(pending))
         merge = _merge_bounded_wide if self.wide else _merge_bounded
-        self.table, du, dk = merge(
+        new_table, du, dk = merge(
             self.table, tuple(pending), self.capacity, max_k=self.k)
+        # Commit state ATOMICALLY only after the merge demonstrably
+        # completed: the scalar fetches below force the executable, so a
+        # device fault (the elastic-recovery case) raises BEFORE any
+        # counter or the table is updated -- discard_pending then rewinds
+        # the batches AND their kmer mass together, and an emergency
+        # checkpoint never stores counters the post-restart recount would
+        # double-count (ADVICE r3).
+        du_i, dk_i = int(du), int(dk)
+        kmers_add = sum(int(km) for km in self._pending_kmers)
+        self.table = new_table
+        self.kmers += kmers_add
+        self._pending_kmers = []
         self._pending = []
-        self.dropped_unique += int(du)
-        self.dropped_kmers += int(dk)
+        self.dropped_unique += du_i
+        self.dropped_kmers += dk_i
 
     def discard_pending(self) -> None:
         """Roll back unconsolidated per-batch tables after a mid-stream
@@ -386,12 +395,15 @@ class ShardedStreamingCounter(StreamingCounter):
         self._pending_overflow = []
 
     def _consolidate(self) -> None:
+        had_pending = bool(self._pending)
+        super()._consolidate()
+        # overflow counters commit only after the merge succeeded (the base
+        # class raised otherwise), mirroring the kmer-mass rule: a faulted
+        # merge leaves them consistent with discard_pending's rewind
         for ov, rr in self._pending_overflow:
             self.route_overflow += int(ov)
             self.route_rerouted += int(rr)
         self._pending_overflow = []
-        had_pending = bool(self._pending)
-        super()._consolidate()
         if had_pending and jax.process_count() > 1:
             self.table = self._replicate(self.table)
 
@@ -399,7 +411,7 @@ class ShardedStreamingCounter(StreamingCounter):
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
                 length: int = 256,
                 counter: Optional[StreamingCounter] = None,
-                packed: bool = True, prefetch_depth: int = 0,
+                packed: bool = True, prefetch_depth: int = 512,
                 devices: int = 1, route_capacity: int = 4096,
                 route_passes: int = 1) -> StreamingCounter:
     """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
