@@ -146,64 +146,98 @@ def main():
     rate = benchlib.chain_rate(cfg5r, first_reads(B5, L5, 5),
                                B5 * (L5 - 31 + 1))
     emit("count_pipeline_k31_runlength", rate, "kmers/s",
-         "run-length table form (streaming per-batch mode): key sort + "
-         "reverse-cummin, compaction deferred to consolidation")
+         "run-length table form (round-3 streaming per-batch mode): key "
+         "sort + reverse-cummin, compaction deferred to consolidation")
+
+    # config 5u: the round-4 streaming per-batch form -- UnitTable
+    # passthrough (raw folded canonical keys from the fused Pallas kernel,
+    # zero per-batch aggregation; see kmers_tpu/parallel/count.UnitTable)
+    def cfg5u(reads):
+        res = count_reads(reads, 31, aggregate="unit")
+        s = (jnp.sum(res.table.keys.lo) ^ jnp.sum(res.table.keys.hi)
+             ) & jnp.uint32(3)
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        code = internal ^ (internal >> 1)
+        return benchlib.ascii_from_codes(code + s)
+
+    rate = benchlib.chain_rate(cfg5u, first_reads(B5, L5, 5),
+                               B5 * (L5 - 31 + 1))
+    emit("count_pipeline_k31_unit", rate, "kmers/s",
+         "unit passthrough form (round-4 streaming per-batch mode): the "
+         "per-batch table IS the fused window kernel's folded keys")
 
 
 def length_matrix():
     """The reference's criterion matrix, all four arms
     (/root/reference/benches/simple_benchmark.rs:58-102): k=31 construct
     and reverse-complement, naive_impl vs generic+Xor10, over input
-    lengths 2^8..2^15.  Batch sized to keep ~2 MiB of ASCII per call.
+    lengths 2^8..2^15.
+
+    ONE static shape serves the whole matrix (VERDICT r3 item 4): every
+    length packs into the same [B, 2^15] slab as N-separated reads --
+    m = floor((2^15+1)/(len+1)) reads of `len` bases per row, one 'N'
+    between them (the N machinery invalidates the straddling windows
+    natively, exactly as in production ragged batches).  Each arm
+    therefore compiles exactly one chain pair; per-length numbers differ
+    only in input data.  Rates use the VALID k-mers actually produced, so
+    short lengths honestly pay their separator/tail overhead
+    ((len-k+1)/(len+1) utilization) -- the TPU analog of the reference's
+    per-length efficiency curve.
 
     Arm mapping (batch-first analogs of the per-window scalar loops):
       construct/naive  -> fused pack+windows+canonical+hash Pallas kernel
-                          (compute_naive + the canonical/hash the engine
-                          always produces)
       construct/xor10  -> xor10 base codes + log-doubling window words
-                          (compute_xor10: generic Kmer<u64,31> + Xor10)
-      rc/naive         -> windows + the 5-step revcomp ladder (rc_naive)
+                          (generic Kmer<u64,31> + Xor10)
+      rc/naive         -> windows + the 5-step revcomp ladder
       rc/xor10         -> xor10 windows + complement(^0b10) + base
-                          reversal + shift (rc_xor10, corrected semantics)
+                          reversal + shift (corrected semantics)
     """
     from kmers_tpu.core import u64 as u
     from kmers_tpu.kernels import window as kwin
     from kmers_tpu.ops import kmer as kmer_ops
 
     K = 31
+    B, LPAD = (8, 1 << 15) if QUICK else (64, 1 << 15)
 
-    for exp in range(8, 16):
+    def arm_naive(reads):
+        _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, K,
+                                                       block_rows=8)
+        return benchlib.ascii_from_codes(hash_lo)
+
+    def arm_xor10(reads):
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        w = kmer_ops.window_words(internal, K)    # Kmer<u64,31> words
+        return benchlib.ascii_from_codes(w.lo ^ w.hi)
+
+    def arm_rc_naive(reads):
+        win = kmer_ops.kmer_windows(reads, K)     # includes revcomp
+        return benchlib.ascii_from_codes(win.rc.lo ^ win.rc.hi)
+
+    def arm_rc_xor10(reads):
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        w = kmer_ops.window_words(internal, K)
+        comp = u.xor_const(w, 0xAAAAAAAAAAAAAAAA)  # code ^ 0b10 per base
+        rc = u.shr(u.reverse_bases(comp), 2 * (32 - K))
+        return benchlib.ascii_from_codes(rc.lo ^ rc.hi)
+
+    rng = np.random.default_rng(11)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    exps = (8, 12, 15) if QUICK else range(8, 16)
+    for exp in exps:
         L = 1 << exp
-        B = max(256, (2 << 20) // L)
-        B -= B % 256
-        reads0 = first_reads(B, L, exp)
-
-        def arm_naive(reads):
-            _, _, _, hash_lo, _ = kwin.pack_canonical_hash(reads, K)
-            return benchlib.ascii_from_codes(hash_lo)
-
-        def arm_xor10(reads):
-            internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
-            w = kmer_ops.window_words(internal, K)    # Kmer<u64,31> words
-            return benchlib.ascii_from_codes(w.lo ^ w.hi)
-
-        def arm_rc_naive(reads):
-            win = kmer_ops.kmer_windows(reads, K)     # includes revcomp
-            return benchlib.ascii_from_codes(win.rc.lo ^ win.rc.hi)
-
-        def arm_rc_xor10(reads):
-            internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
-            w = kmer_ops.window_words(internal, K)
-            comp = u.xor_const(w, 0xAAAAAAAAAAAAAAAA)  # code ^ 0b10 per base
-            rc = u.shr(u.reverse_bases(comp), 2 * (32 - K))
-            return benchlib.ascii_from_codes(rc.lo ^ rc.hi)
-
-        n = B * (L - K + 1)
+        m = (LPAD + 1) // (L + 1)        # reads per row, N-separated
+        row = np.full((B, LPAD), ord("N"), dtype=np.uint8)
+        for j in range(m):
+            s = j * (L + 1)
+            row[:, s:s + L] = rng.choice(acgt, size=(B, L))
+        reads0 = jnp.asarray(row)
+        n = B * m * (L - K + 1)
         for name, fn in (("naive", arm_naive), ("xor10", arm_xor10),
                          ("rc_naive", arm_rc_naive),
                          ("rc_xor10", arm_rc_xor10)):
             rate = benchlib.chain_rate(fn, reads0, n)
-            emit(f"{name}_k31_len_2e{exp}", rate, "kmers/s", f"B={B} L={L}")
+            emit(f"{name}_k31_len_2e{exp}", rate, "kmers/s",
+                 f"B={B} x {m} reads/row, one [B, 32768] compile per arm")
 
 
 def generic_layer_bench():
@@ -288,6 +322,90 @@ def ablation():
          "HBM-bound predicts 1.00, VPU-bound predicts 1.64")
 
 
+def streaming_sustained():
+    """The honest TOTAL device cost of streaming counting: per-batch unit
+    emission is ~free (config 5u), so the cost center is the deferred
+    consolidation.  This measures seconds per consolidation with the
+    chain-slope protocol (each iteration's pending keys derive from the
+    previous merged table -- serial dependency) in both regimes:
+
+      noevict: distinct keys fit capacity (the sized-right common case;
+               lax.cond takes the free-slice path: 2 device sorts)
+      evict:   table saturated, rank-evict every merge (4 device sorts)
+
+    and reports the sustained streaming rate
+        kmers_per_batch / (t_batch_unit + t_consolidate / merge_every).
+    """
+    import functools
+
+    from kmers_tpu.core.u64 import U64
+    from kmers_tpu.parallel import count as count_ops
+    from kmers_tpu.parallel import count_reads
+    from kmers_tpu.parallel.count import CountTable, UnitTable
+    from kmers_tpu.parallel.stream import _merge_bounded
+
+    B5, L5 = (512, 256) if QUICK else (4096, 256)
+    ME = 4 if QUICK else 16           # merge_every
+    CAP = (1 << 19) if QUICK else (1 << 23)
+    lanes = B5 * L5
+
+    def mix32(x):
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    def make_step(space_bits: int):
+        lo_mask = jnp.uint32((1 << min(space_bits, 32)) - 1)
+        hi_bits = max(space_bits - 32, 0)
+        hi_mask = jnp.uint32((1 << hi_bits) - 1)   # < bit 31: flag stays clear
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(table):
+            base = table.keys.lo[:lanes] ^ table.keys.hi[:lanes]
+            pending = tuple(
+                UnitTable(keys=U64(
+                    mix32(base + jnp.uint32(2 * i + 1)) & hi_mask,
+                    mix32(base ^ jnp.uint32((0x9E3779B9 * (i + 1))
+                                            & 0xFFFFFFFF)) & lo_mask))
+                for i in range(ME))
+            out, _, _ = _merge_bounded(table, pending, CAP, max_k=31)
+            return out
+
+        return step
+
+    z = jnp.zeros(CAP, dtype=jnp.uint32)
+    table0 = CountTable(keys=U64(z, z), counts=jnp.zeros(CAP, jnp.int32),
+                        n_unique=jnp.int32(0))
+    # noevict: ME*lanes draws from a space_bits space; distinct << CAP
+    sec_ne = benchlib.chain_seconds_per_iter(
+        make_step(space_bits=max(CAP.bit_length() - 3, 16)), table0,
+        s_short=2, s_long=10, rounds=4)
+    emit("consolidate_noevict", sec_ne * 1e3, "ms/merge",
+         f"capacity {CAP}, {ME} pending x {lanes} lanes, free-slice path")
+    sec_ev = benchlib.chain_seconds_per_iter(
+        make_step(space_bits=60), table0, s_short=2, s_long=10, rounds=4)
+    emit("consolidate_evict", sec_ev * 1e3, "ms/merge",
+         "saturated table, rank-evict every merge")
+
+    def cfg5u(reads):
+        res = count_reads(reads, 31, aggregate="unit")
+        s = (jnp.sum(res.table.keys.lo) ^ jnp.sum(res.table.keys.hi)
+             ) & jnp.uint32(3)
+        internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+        code = internal ^ (internal >> 1)
+        return benchlib.ascii_from_codes(code + s)
+
+    t_batch = benchlib.chain_seconds_per_iter(cfg5u, first_reads(B5, L5, 5))
+    kmers_per_batch = B5 * (L5 - 31 + 1)
+    for name, sec in (("noevict", sec_ne), ("evict", sec_ev)):
+        sustained = kmers_per_batch / (t_batch + sec / ME)
+        emit(f"stream_sustained_{name}", sustained, "kmers/s",
+             f"per-batch {t_batch*1e3:.3f} ms + merge {sec*1e3:.1f} ms / "
+             f"merge_every {ME}")
+
+
 if __name__ == "__main__":
     if "--lengths" in sys.argv:
         length_matrix()
@@ -295,5 +413,7 @@ if __name__ == "__main__":
         generic_layer_bench()
     elif "--ablate" in sys.argv:
         ablation()
+    elif "--stream" in sys.argv:
+        streaming_sustained()
     else:
         main()

@@ -12,9 +12,17 @@ pending table (dead or alive), so the merge cost is UNCHANGED while the
 per-batch cost drops from a global 2^20-lane u64 sort (lax.sort: 1.55 ms
 on v5e) to segment sorts that never leave VMEM.
 
+(Since round 4 the STREAMING pipeline no longer runs any per-batch
+aggregation at all -- parallel.count.UnitTable showed even the segment
+sort reduces the consolidation's cost by zero -- so this kernel now backs
+the explicit count_words(compact=False) API rather than the streaming
+default.  Kept, measured, and extended to wide keys because a
+run-length-per-segment table is the right shape whenever a CONSUMER wants
+per-batch partial counts, e.g. per-shard partial tables read directly.)
+
 Performance shape (hard-won; see BASELINE.md's counting profile):
 
-  * Segments are SMALL (default 1024 lanes) -- bitonic stage count is
+  * Segments are SMALL (default 64 lanes) -- bitonic stage count is
     log2(seg)*(log2(seg)+1)/2, so halving log2(seg) nearly halves the
     arithmetic.  Cross-segment duplicate runs are the price, and they are
     free at merge time (same lane count either way).
@@ -35,18 +43,20 @@ Performance shape (hard-won; see BASELINE.md's counting profile):
     instead of the network's half, cheap at seg = 1024).
   * All side/direction masks stay i1 via compares of int32 iotas and
     &|~^ only -- Mosaic cannot lower i1-valued selects/i1==i1 compares.
-  * On ties (equal u64 keys) the exchange takes the partner: the values
-    are bit-identical, so the sorted output is unchanged and the compare
-    chain shortens to 5 ops.
+  * On ties (equal keys) the exchange takes the partner: the values are
+    bit-identical, so the sorted output is unchanged and the compare
+    chain shortens.
 
 After the sort, run starts are neighbor-compares in segment-linear
 order, and each run's length is (next boundary - index) via a log-depth
 suffix-min over boundary positions -- all static linear shifts.
 
-The invalid flag arrives folded into bit 31 of key_hi
+Keys are 1..N uint32 planes compared lexicographically (plane 0 most
+significant): 2 planes for u64 keys (k <= 31), 4 planes for u128 keys
+(33 <= k <= 63).  The invalid flag arrives folded into bit 31 of plane 0
 (kernels/window.pack_canonical_keys / count.sort_by_word spare-bit
-layout, k <= 31 only), so invalid lanes sort to each segment's end by
-construction and the first invalid lane closes the last valid run.
+layout), so invalid lanes sort to each segment's end by construction and
+the first invalid lane closes the last valid run.
 """
 
 from __future__ import annotations
@@ -60,8 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
-INVALID_HI = 0x80000000      # folded key of an invalid / padding lane
-                             # (key_lo = 0)
+INVALID_HI = 0x80000000      # plane-0 word of an invalid / padding lane
+                             # (all other planes = 0)
 
 
 def _partner(x, s: int, low_b):
@@ -79,14 +89,25 @@ def _partner(x, s: int, low_b):
     return jnp.where(low_b, plus, minus)
 
 
-def _seg_sort(hi, lo, seg_lanes: int, seg_idx, row_iota, lane_iota):
+def _lex_le(a, b):
+    """a <= b lexicographically over matching plane tuples (plane 0 most
+    significant).  Ties return True (take the partner: values are
+    bit-identical, so the sorted output is unchanged)."""
+    le = ~(b[-1] < a[-1])
+    for i in range(len(a) - 2, -1, -1):
+        le = (a[i] < b[i]) | ((a[i] == b[i]) & le)
+    return le
+
+
+def _seg_sort(planes, seg_lanes: int, seg_idx, row_iota, lane_iota):
     """Ascending bitonic sort of every seg_lanes-aligned segment of the
-    block, all segments in parallel on full-width ops."""
+    block, all segments in parallel on full-width ops; `planes` is the
+    tuple of uint32 key planes, most significant first."""
     n_levels = seg_lanes.bit_length() - 1
     strides = [1 << e for e in range(n_levels - 1, -1, -1)]
 
     def level(l, carry):
-        h, w = carry
+        ps = carry
         kk = jnp.int32(2) << l
         dir_b = (seg_idx & kk) == 0          # ascending pair mask (i1)
         for s in strides:
@@ -98,18 +119,16 @@ def _seg_sort(hi, lo, seg_lanes: int, seg_idx, row_iota, lane_iota):
             # 1-op compare per stage is free by comparison.
             low_b = ((lane_iota & s) == 0 if s < LANES
                      else (row_iota & (s // LANES)) == 0)
-            p_hi = _partner(h, s, low_b)
-            p_lo = _partner(w, s, low_b)
-            hi_eq = p_hi == h
-            p_le = (p_hi < h) | (hi_eq & ~(w < p_lo))    # partner <= mine
+            partners = tuple(_partner(p, s, low_b) for p in ps)
+            p_le = _lex_le(partners, ps)                 # partner <= mine
             want_small = ~(low_b ^ dir_b)
             act = jnp.int32(s) < kk                      # stage active?
             take = ~(want_small ^ p_le) & act
-            h = jnp.where(take, p_hi, h)
-            w = jnp.where(take, p_lo, w)
-        return h, w
+            ps = tuple(jnp.where(take, pp, p)
+                       for pp, p in zip(partners, ps))
+        return ps
 
-    return jax.lax.fori_loop(0, n_levels, level, (hi, lo))
+    return jax.lax.fori_loop(0, n_levels, level, tuple(planes))
 
 
 def _lin_prev(x, lane_iota):
@@ -136,20 +155,24 @@ def _lin_next(x, s: int, fill, seg_idx, lane_iota, seg_lanes: int):
     return jnp.where(seg_idx + s < seg_lanes, rolled, fill)
 
 
-def _count_tile_kernel(hi_ref, lo_ref, key_hi_out, key_lo_out, counts_out,
-                       *, seg_lanes: int):
-    hi, lo = hi_ref[:], lo_ref[:]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)
+def _count_tile_kernel(*refs, seg_lanes: int, n_planes: int):
+    in_refs = refs[:n_planes]
+    out_refs = refs[n_planes:2 * n_planes]
+    counts_out = refs[2 * n_planes]
+    planes = tuple(r[:] for r in in_refs)
+    shape = planes[0].shape
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     idx = row_iota * LANES + lane_iota
     seg_idx = idx & jnp.int32(seg_lanes - 1)     # index within segment
 
-    hi, lo = _seg_sort(hi, lo, seg_lanes, seg_idx, row_iota, lane_iota)
+    planes = _seg_sort(planes, seg_lanes, seg_idx, row_iota, lane_iota)
 
-    valid = (hi >> 31) == 0              # folded flag: invalid sorts last
-    p_hi = _lin_prev(hi, lane_iota)
-    p_lo = _lin_prev(lo, lane_iota)
-    neq = (p_hi != hi) | (p_lo != lo)
+    valid = (planes[0] >> 31) == 0       # folded flag: invalid sorts last
+    prevs = tuple(_lin_prev(p, lane_iota) for p in planes)
+    neq = prevs[0] != planes[0]
+    for pp, p in zip(prevs[1:], planes[1:]):
+        neq = neq | (pp != p)
     starts = valid & ((seg_idx == 0) | neq)
 
     # next run boundary after i within the segment (run starts and the
@@ -167,8 +190,43 @@ def _count_tile_kernel(hi_ref, lo_ref, key_hi_out, key_lo_out, counts_out,
     counts_out[:] = (jnp.where(starts, ns_excl - seg_idx, 0)
                      ).astype(jnp.int32)
     vmask = jnp.uint32(0) - valid.astype(jnp.uint32)
-    key_hi_out[:] = hi & vmask           # clears the flag bit with it
-    key_lo_out[:] = lo & vmask
+    for ref, p in zip(out_refs, planes):
+        ref[:] = p & vmask               # clears the flag bit with it
+
+
+def _segment_count(planes, seg_lanes: int, block_lanes: int,
+                   interpret: bool):
+    """Shared driver: pad, tile, run the kernel over N key planes."""
+    assert seg_lanes >= 8 and seg_lanes & (seg_lanes - 1) == 0
+    assert block_lanes % seg_lanes == 0
+    assert block_lanes & (block_lanes - 1) == 0
+    n = planes[0].size
+    n_pad = -(-n // block_lanes) * block_lanes
+    flat = [p.reshape(-1) for p in planes]
+    if n_pad != n:
+        flat[0] = jnp.concatenate([
+            flat[0], jnp.full(n_pad - n, INVALID_HI, dtype=jnp.uint32)])
+        for i in range(1, len(flat)):
+            flat[i] = jnp.concatenate([
+                flat[i], jnp.zeros(n_pad - n, dtype=jnp.uint32)])
+    shape2d = (n_pad // LANES, LANES)
+    tiles = [f.reshape(shape2d) for f in flat]
+    rows = block_lanes // LANES
+    spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out32 = jax.ShapeDtypeStruct(shape2d, jnp.uint32)
+    outi = jax.ShapeDtypeStruct(shape2d, jnp.int32)
+    np_ = len(tiles)
+    outs = pl.pallas_call(
+        functools.partial(_count_tile_kernel, seg_lanes=seg_lanes,
+                          n_planes=np_),
+        grid=(n_pad // block_lanes,),
+        in_specs=[spec] * np_,
+        out_specs=tuple([spec] * (np_ + 1)),
+        out_shape=tuple([out32] * np_ + [outi]),
+        interpret=interpret,
+    )(*tiles)
+    return tuple(o.reshape(n_pad) for o in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("seg_lanes", "block_lanes",
@@ -177,8 +235,8 @@ def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
                        seg_lanes: int = 1 << 10,
                        block_lanes: int = 1 << 14,
                        interpret: bool = False):
-    """Segment-local sort+count of flat folded keys (bit 31 of key_hi =
-    invalid flag; invalid lanes must be exactly (0x80000000, 0)).
+    """Segment-local sort+count of flat folded u64 keys (bit 31 of key_hi
+    = invalid flag; invalid lanes must be exactly (0x80000000, 0)).
 
     Returns (keys_hi, keys_lo, counts), all [n_pad] with
     n_pad = ceil(n / block_lanes) * block_lanes: within each seg_lanes
@@ -194,30 +252,24 @@ def segment_count_keys(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
     """
     # seg < 128 is fine: sub-row segments stay aligned, so lane-axis
     # rolls + iota selects still never cross a segment boundary
-    assert seg_lanes >= 8 and seg_lanes & (seg_lanes - 1) == 0
-    assert block_lanes % seg_lanes == 0
-    assert block_lanes & (block_lanes - 1) == 0
-    n = key_hi.size
-    n_pad = -(-n // block_lanes) * block_lanes
-    if n_pad != n:
-        pad_hi = jnp.full(n_pad - n, INVALID_HI, dtype=jnp.uint32)
-        pad_lo = jnp.zeros(n_pad - n, dtype=jnp.uint32)
-        key_hi = jnp.concatenate([key_hi.reshape(-1), pad_hi])
-        key_lo = jnp.concatenate([key_lo.reshape(-1), pad_lo])
-    shape2d = (n_pad // LANES, LANES)
-    hi2 = key_hi.reshape(shape2d)
-    lo2 = key_lo.reshape(shape2d)
-    rows = block_lanes // LANES
-    spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    out32 = jax.ShapeDtypeStruct(shape2d, jnp.uint32)
-    outi = jax.ShapeDtypeStruct(shape2d, jnp.int32)
-    kh, kl, cnt = pl.pallas_call(
-        functools.partial(_count_tile_kernel, seg_lanes=seg_lanes),
-        grid=(n_pad // block_lanes,),
-        in_specs=[spec, spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(out32, out32, outi),
-        interpret=interpret,
-    )(hi2, lo2)
-    return kh.reshape(n_pad), kl.reshape(n_pad), cnt.reshape(n_pad)
+    kh, kl, cnt = _segment_count((key_hi, key_lo), seg_lanes, block_lanes,
+                                 interpret)
+    return kh, kl, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("seg_lanes", "block_lanes",
+                                             "interpret"))
+def segment_count_keys_wide(key_hh: jnp.ndarray, key_hl: jnp.ndarray,
+                            key_lh: jnp.ndarray, key_ll: jnp.ndarray,
+                            seg_lanes: int = 1 << 6,
+                            block_lanes: int = 1 << 14,
+                            interpret: bool = False):
+    """segment_count_keys for 128-bit keys (33 <= k <= 63): 4 uint32
+    planes, invalid flag in bit 31 of key_hh, invalid lanes exactly
+    (0x80000000, 0, 0, 0).  Removes the k <= 31 restriction VERDICT r3
+    item 2 called out (reference multi-word reach, kmer.rs:67-69).
+
+    Returns (hh, hl, lh, ll, counts) in the same per-segment run-length
+    layout as the narrow kernel."""
+    return _segment_count((key_hh, key_hl, key_lh, key_ll), seg_lanes,
+                          block_lanes, interpret)

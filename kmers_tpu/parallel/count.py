@@ -53,6 +53,50 @@ class CountTable(NamedTuple):
         return self.counts.shape[-1]
 
 
+UNIT_INVALID_HI = 0x80000000   # plain int: a module-level jnp
+                               # constant would init the backend at
+                               # import, breaking jax.distributed
+
+
+class UnitTable(NamedTuple):
+    """Per-batch PASSTHROUGH table: every valid lane is one occurrence.
+
+    keys: U64 [cap] in the folded spare-bit layout (k <= 31 only): bit 31
+    of hi is the INVALID flag; invalid lanes are exactly (0x80000000, 0).
+    A lane with the flag clear contributes its key with weight 1.
+
+    Why this exists (the round-4 counting insight): the deferred weighted
+    consolidation (merge_many -> count_weighted) sorts EVERY lane of every
+    pending table -- dead or alive -- because shapes are static.  Per-batch
+    aggregation (global sort in round 2, segment-local sort in round 3)
+    therefore reduces the consolidation's lane count by exactly zero; all
+    that work was pure overhead ahead of a merge whose cost it never
+    changed.  The information-theoretically minimal per-batch emission is
+    the raw canonical keys themselves, which is precisely what the fused
+    window kernel (kernels/window.pack_canonical_keys) already produces at
+    ~39 G keys/s -- so the per-batch "count" step disappears entirely, and
+    this 8 B/lane wrapper is its table form (no counts plane on HBM: the
+    weight of a live lane is definitionally 1 and the validity is the
+    folded flag bit)."""
+
+    keys: U64
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.lo.size
+
+
+def unit_table(words: U64, valid: jnp.ndarray) -> UnitTable:
+    """Wrap canonical words + validity as a UnitTable (k <= 31: bit 31 of
+    hi must be structurally clear for valid keys).  Invalid lanes are
+    normalized to exactly (0x80000000, 0)."""
+    v = valid
+    vmask = jnp.uint32(0) - v.astype(jnp.uint32)
+    hi = (words.hi & vmask) | jnp.where(v, jnp.uint32(0),
+                                    jnp.uint32(UNIT_INVALID_HI))
+    return UnitTable(keys=U64(hi, words.lo & vmask))
+
+
 def _bitonic_eligible(n: int, n_extras: int) -> bool:
     """Whether to dispatch to the Pallas bitonic sort: TPU backend, >= 512
     lanes, no extra payload operands (bitonic is unstable; the 2-word key
@@ -314,23 +358,61 @@ def merge_tables(a: CountTable, b: CountTable,
 def _live_lanes(t) -> jnp.ndarray:
     """Flat live-slot mask of a count table: slots carrying mass.
 
-    ``counts > 0`` covers every table form uniformly -- compacted (live
-    prefix), run-length (count_sorted_runs: counts only at run starts) and
-    per-shard stacked [D, cap] tables -- since dead/padding slots always
-    hold count 0 and live keys always count >= 1."""
+    ``counts > 0`` covers every count-table form uniformly -- compacted
+    (live prefix), run-length (count_sorted_runs: counts only at run
+    starts) and per-shard stacked [D, cap] tables -- since dead/padding
+    slots always hold count 0 and live keys always count >= 1.  UnitTable
+    liveness is the folded flag bit instead (no counts plane exists)."""
+    if isinstance(t, UnitTable):
+        return ((t.keys.hi.reshape(-1) >> 31) == 0)
     return (t.counts > 0).reshape(-1)
+
+
+def _table_parts(t):
+    """(hi, lo, weights, valid) flat views of any narrow table form.
+
+    For a UnitTable the weights plane never touches HBM: it is the 0/1
+    validity itself, fused by XLA into the consuming merge."""
+    valid = _live_lanes(t)
+    hi = t.keys.hi.reshape(-1)
+    if isinstance(t, UnitTable):
+        # strip the folded flag so concatenated keys are uniform; the
+        # merge re-folds it from `valid` (sort_by_word spare path)
+        return (hi & jnp.uint32(0x7FFFFFFF), t.keys.lo.reshape(-1),
+                valid.astype(jnp.int32), valid)
+    return hi, t.keys.lo.reshape(-1), t.counts.reshape(-1), valid
 
 
 def merge_many(tables, max_k: Optional[int] = None) -> CountTable:
     """Merge count tables (capacity = sum of capacities): one concat +
     weighted re-count, so merging N tables at once costs one sort instead
     of N-1 pairwise merge sorts.  Tables may be flat or per-shard stacked
-    ([D, cap]; shard tables are disjoint so this is exact)."""
-    keys = U64(jnp.concatenate([t.keys.hi.reshape(-1) for t in tables]),
-               jnp.concatenate([t.keys.lo.reshape(-1) for t in tables]))
-    counts = jnp.concatenate([t.counts.reshape(-1) for t in tables])
-    valid = jnp.concatenate([_live_lanes(t) for t in tables])
+    ([D, cap]; shard tables are disjoint so this is exact), and any of
+    them may be a UnitTable (per-batch passthrough form)."""
+    parts = [_table_parts(t) for t in tables]
+    keys = U64(jnp.concatenate([p[0] for p in parts]),
+               jnp.concatenate([p[1] for p in parts]))
+    counts = jnp.concatenate([p[2] for p in parts])
+    valid = jnp.concatenate([p[3] for p in parts])
     return count_weighted(keys, valid, counts, max_k=max_k)
+
+
+def empty_like_table(t):
+    """An all-dead table with t's shapes (consolidation padding): zeros
+    for count tables; for UnitTable every lane must carry the INVALID
+    pattern (0x80000000, 0) -- an all-zeros UnitTable would claim
+    capacity occurrences of key 0."""
+    if isinstance(t, UnitTable):
+        return UnitTable(keys=U64(
+            jnp.full_like(t.keys.hi, UNIT_INVALID_HI),
+            jnp.zeros_like(t.keys.lo)))
+    if isinstance(t, UnitTableWide):
+        return UnitTableWide(keys=U128(
+            U64(jnp.full_like(t.keys.hi.hi, UNIT_INVALID_HI),
+                jnp.zeros_like(t.keys.hi.lo)),
+            U64(jnp.zeros_like(t.keys.lo.hi),
+                jnp.zeros_like(t.keys.lo.lo))))
+    return jax.tree.map(jnp.zeros_like, t)
 
 
 def lookup(table: CountTable, queries: U64) -> jnp.ndarray:
@@ -371,6 +453,30 @@ class CountTableWide(NamedTuple):
     @property
     def capacity(self) -> int:
         return self.counts.shape[-1]
+
+
+class UnitTableWide(NamedTuple):
+    """Per-batch passthrough table for 128-bit keys (33 <= k <= 63): bit
+    31 of hi.hi is the INVALID flag (structurally clear for k <= 63 keys);
+    invalid lanes are exactly (0x80000000, 0, 0, 0).  See UnitTable for
+    why per-batch aggregation is skipped entirely."""
+
+    keys: U128
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.lo.lo.size
+
+
+def unit_table_wide(words: U128, valid: jnp.ndarray) -> UnitTableWide:
+    """Wrap wide canonical words + validity as a UnitTableWide (k <= 63)."""
+    v = valid
+    vmask = jnp.uint32(0) - v.astype(jnp.uint32)
+    hh = (words.hi.hi & vmask) | jnp.where(v, jnp.uint32(0),
+                                       jnp.uint32(UNIT_INVALID_HI))
+    return UnitTableWide(keys=U128(
+        U64(hh, words.hi.lo & vmask),
+        U64(words.lo.hi & vmask, words.lo.lo & vmask)))
 
 
 def _flatten_wide(words: U128) -> U128:
@@ -435,12 +541,57 @@ def _compact_wide(s: U128, starts: jnp.ndarray, idx: jnp.ndarray,
     return CountTableWide(keys=keys, counts=counts, n_unique=n_unique)
 
 
+def _segmented_eligible_wide(max_k: Optional[int]) -> bool:
+    """count_words_wide(compact=False) may use the wide segment-local
+    Pallas kernel when the spare bit exists (k <= 63) on a TPU backend."""
+    import os
+
+    if os.environ.get("KMERS_TPU_NO_SEGMENT"):
+        return False
+    if max_k is None or max_k > 63:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
+def count_words_segmented_wide(words: U128, valid: jnp.ndarray,
+                               seg_lanes: Optional[int] = None,
+                               block_lanes: int = 1 << 14,
+                               interpret: bool = False) -> CountTableWide:
+    """Run-length count table of 128-bit keys WITHOUT any global sort
+    (33 <= k <= 63): the 4-plane mirror of count_words_segmented -- fold
+    the invalid flag into bit 31 of hi.hi, segment-sort + run-length in
+    VMEM (kernels/count_tile.segment_count_keys_wide)."""
+    from ..kernels.count_tile import segment_count_keys_wide
+
+    v = valid.reshape(-1)
+    vmask = jnp.uint32(0) - v.astype(jnp.uint32)
+    hh = (words.hi.hi.reshape(-1) & vmask) | jnp.where(
+        v, jnp.uint32(0), jnp.uint32(UNIT_INVALID_HI))
+    hl = words.hi.lo.reshape(-1) & vmask
+    lh = words.lo.hi.reshape(-1) & vmask
+    ll = words.lo.lo.reshape(-1) & vmask
+    shh, shl, slh, sll, counts = segment_count_keys_wide(
+        hh, hl, lh, ll,
+        seg_lanes=seg_lanes if seg_lanes is not None else _seg_lanes_default(),
+        block_lanes=block_lanes, interpret=interpret)
+    n_unique = (counts > 0).sum(dtype=jnp.int32)
+    return CountTableWide(keys=U128(U64(shh, shl), U64(slh, sll)),
+                          counts=counts, n_unique=n_unique)
+
+
 def count_words_wide(words: U128, valid: jnp.ndarray,
                      max_k: Optional[int] = None,
                      compact: bool = True) -> CountTableWide:
     """Sort + count 128-bit keys: lexicographic sort then run-length
     counting (see sort_by_word_wide for the max_k <= 63 spare-bit trick).
-    compact=False returns the run-length form (see count_sorted_runs)."""
+    compact=False returns the run-length form (see count_sorted_runs); on
+    TPU with k <= 63 it comes from the wide segment-local Pallas kernel
+    (no global sort)."""
+    if not compact and _segmented_eligible_wide(max_k):
+        return count_words_segmented_wide(words, valid)
     s, sv, _ = sort_by_word_wide(words, valid,
                                  spare_hi_bit=max_k is not None
                                  and max_k <= 63)
@@ -474,17 +625,32 @@ def count_weighted_wide(words: U128, valid: jnp.ndarray,
     return _compact_wide(s, starts, idx, n_unique, csum - mw, csum[-1])
 
 
+def _table_parts_wide(t):
+    """(hh, hl, lh, ll, weights, valid) flat views of any wide table form
+    (mirror of _table_parts)."""
+    if isinstance(t, UnitTableWide):
+        hh = t.keys.hi.hi.reshape(-1)
+        valid = (hh >> 31) == 0
+        return (hh & jnp.uint32(0x7FFFFFFF), t.keys.hi.lo.reshape(-1),
+                t.keys.lo.hi.reshape(-1), t.keys.lo.lo.reshape(-1),
+                valid.astype(jnp.int32), valid)
+    return (t.keys.hi.hi.reshape(-1), t.keys.hi.lo.reshape(-1),
+            t.keys.lo.hi.reshape(-1), t.keys.lo.lo.reshape(-1),
+            t.counts.reshape(-1), (t.counts > 0).reshape(-1))
+
+
 def merge_many_wide(tables, max_k: Optional[int] = None) -> CountTableWide:
     """Merge wide count tables (capacity = sum of capacities): one concat
     + weighted re-count (mirror of merge_many; accepts flat or per-shard
-    stacked tables)."""
+    stacked tables, any of them UnitTableWide)."""
+    parts = [_table_parts_wide(t) for t in tables]
     keys = U128(
-        U64(jnp.concatenate([t.keys.hi.hi.reshape(-1) for t in tables]),
-            jnp.concatenate([t.keys.hi.lo.reshape(-1) for t in tables])),
-        U64(jnp.concatenate([t.keys.lo.hi.reshape(-1) for t in tables]),
-            jnp.concatenate([t.keys.lo.lo.reshape(-1) for t in tables])))
-    counts = jnp.concatenate([t.counts.reshape(-1) for t in tables])
-    valid = jnp.concatenate([_live_lanes(t) for t in tables])
+        U64(jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts])),
+        U64(jnp.concatenate([p[2] for p in parts]),
+            jnp.concatenate([p[3] for p in parts])))
+    counts = jnp.concatenate([p[4] for p in parts])
+    valid = jnp.concatenate([p[5] for p in parts])
     return count_weighted_wide(keys, valid, counts, max_k=max_k)
 
 

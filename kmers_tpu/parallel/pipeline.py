@@ -42,52 +42,114 @@ def canonical_kmers(reads: jnp.ndarray, k: int) -> Tuple[U64, jnp.ndarray]:
     return kmer_ops.canonical_word(win.fw, win.rc), win.valid
 
 
-def count_reads(reads: jnp.ndarray, k: int,
-                compact: bool = True) -> CountResult:
+def _resolve_aggregate(compact: bool, aggregate: Optional[str]) -> str:
+    if aggregate is None:
+        return "compact" if compact else "runlength"
+    assert aggregate in ("compact", "runlength", "unit"), aggregate
+    return aggregate
+
+
+def _folded_kernel_ok(reads: jnp.ndarray, k: int) -> bool:
+    """Whether the fused Pallas folded-key kernel can serve this unit-mode
+    batch: TPU backend, k <= 31, batch divisible into kernel blocks."""
+    if not (1 <= k <= 31) or reads.dtype != jnp.uint8:
+        return False
+    B = reads.shape[0]
+    if B % min(256, B) != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
+def _count_metrics(n_reads: int, n_win: int, emitted) -> Dict[str, jnp.ndarray]:
+    return {
+        "reads": jnp.int32(n_reads),
+        "kmers_emitted": emitted,
+        "windows_skipped": jnp.int32(n_reads * n_win) - emitted,
+    }
+
+
+def count_reads(reads: jnp.ndarray, k: int, compact: bool = True,
+                aggregate: Optional[str] = None) -> CountResult:
     """Single-device bit-exact k-mer counter (BASELINE config 2).
 
-    compact=False returns the run-length table form (count_sorted_runs):
-    ~2x less device work, same counts -- the streaming pipeline's per-batch
-    mode (compaction happens once per consolidation)."""
-    canon, valid = canonical_kmers(reads, k)
-    table = count_ops.count_words(canon, valid, max_k=k, compact=compact)
+    aggregate selects the per-batch table form (default from `compact`):
+      "compact"    sorted + compacted CountTable (direct reads/lookup)
+      "runlength"  sorted with duplicates, counts at run starts (~2x less
+                   device work; round-3 streaming mode)
+      "unit"       PASSTHROUGH UnitTable, k <= 31: raw folded canonical
+                   keys, one occurrence per valid lane, NO per-batch sort
+                   at all.  The streaming mode since round 4: the deferred
+                   weighted consolidation sorts every pending lane
+                   regardless (static shapes), so any per-batch aggregation
+                   is overhead -- see count.UnitTable.  On TPU this is one
+                   fused Pallas kernel (kernels/window.pack_canonical_keys)
+                   at ~39 G keys/s."""
+    mode = _resolve_aggregate(compact, aggregate)
     n_win = reads.shape[-1] - k + 1
-    metrics = {
-        "reads": jnp.int32(reads.shape[0]),
-        "kmers_emitted": valid.sum().astype(jnp.int32),
-        "windows_skipped":
-            jnp.int32(reads.shape[0] * n_win) - valid.sum().astype(jnp.int32),
-    }
-    return CountResult(table=table, metrics=metrics)
+    if mode == "unit":
+        assert 1 <= k <= 31, "unit tables need the spare flag bit (k <= 31)"
+        if _folded_kernel_ok(reads, k):
+            from ..kernels import window as kwin
+
+            kh, kl = kwin.pack_canonical_keys(reads, k)
+            table = count_ops.UnitTable(keys=U64(kh, kl))
+            emitted = ((kh >> 31) == 0).sum(dtype=jnp.int32)
+        else:
+            canon, valid = canonical_kmers(reads, k)
+            table = count_ops.unit_table(canon, valid)
+            emitted = valid.sum().astype(jnp.int32)
+        return CountResult(
+            table=table,
+            metrics=_count_metrics(reads.shape[0], n_win, emitted))
+    canon, valid = canonical_kmers(reads, k)
+    table = count_ops.count_words(canon, valid, max_k=k,
+                                  compact=mode == "compact")
+    return CountResult(
+        table=table,
+        metrics=_count_metrics(reads.shape[0], n_win,
+                               valid.sum().astype(jnp.int32)))
 
 
 def count_reads_packed(words: jnp.ndarray, validbits: jnp.ndarray,
-                       k: int, compact: bool = True) -> CountResult:
+                       k: int, compact: bool = True,
+                       aggregate: Optional[str] = None) -> CountResult:
     """count_reads over PACKED ingest batches ([B, L/16] code words +
     [B, L/32] validity bitmaps from io.fastx.read_packed_batches): same
     table, ~2.7x less host->device traffic (the round-2 CLI was
-    upload-bound with the device 4% busy)."""
+    upload-bound with the device 4% busy).  See count_reads for
+    `aggregate`; the unit form here is the XLA-fused jnp window path."""
+    mode = _resolve_aggregate(compact, aggregate)
     win = kmer_ops.kmer_windows_packed(words, validbits, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
-    table = count_ops.count_words(canon, win.valid, max_k=k,
-                                  compact=compact)
-    metrics = {
-        "reads": jnp.int32(words.shape[0]),
-        "kmers_emitted": win.valid.sum().astype(jnp.int32),
-        "windows_skipped":
-            jnp.int32(words.shape[0] * win.n_windows)
-            - win.valid.sum().astype(jnp.int32),
-    }
-    return CountResult(table=table, metrics=metrics)
+    emitted = win.valid.sum().astype(jnp.int32)
+    if mode == "unit":
+        assert 1 <= k <= 31
+        table = count_ops.unit_table(canon, win.valid)
+    else:
+        table = count_ops.count_words(canon, win.valid, max_k=k,
+                                      compact=mode == "compact")
+    return CountResult(
+        table=table,
+        metrics=_count_metrics(words.shape[0], win.n_windows, emitted))
 
 
 def _sharded_count_tail(canon, valid, n_reads: int, n_win: int, k: int,
                         capacity: int, seed: int, axis: str,
-                        passes: int) -> CountResult:
-    """Shared tail of the sharded count bodies: route -> owned table."""
+                        passes: int, aggregate: str = "compact"
+                        ) -> CountResult:
+    """Shared tail of the sharded count bodies: route -> owned table.
+    aggregate="unit" skips the per-shard sort entirely (the routed lanes
+    ARE the table; see count.UnitTable) -- the streaming-consolidation
+    mode; "compact" keeps per-shard sorted tables for direct reads."""
     routed = route_ops.route(canon, valid, axis, capacity, seed,
                              passes=passes)
-    table = count_ops.count_words(routed.words, routed.valid, max_k=k)
+    if aggregate == "unit":
+        table = count_ops.unit_table(routed.words, routed.valid)
+    else:
+        table = count_ops.count_words(routed.words, routed.valid, max_k=k)
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
         "reads": jax.lax.psum(jnp.int32(n_reads), axis),
@@ -103,23 +165,25 @@ def _sharded_count_tail(canon, valid, n_reads: int, n_win: int, k: int,
 
 
 def _sharded_count_body(reads_local: jnp.ndarray, k: int, capacity: int,
-                        seed: int, axis: str, passes: int) -> CountResult:
+                        seed: int, axis: str, passes: int,
+                        aggregate: str = "compact") -> CountResult:
     """shard_map body: local reads -> routed -> owned count table."""
     canon, valid = canonical_kmers(reads_local, k)
     return _sharded_count_tail(canon, valid, reads_local.shape[0],
                                reads_local.shape[-1] - k + 1, k, capacity,
-                               seed, axis, passes)
+                               seed, axis, passes, aggregate)
 
 
 def _sharded_count_body_packed(words_local: jnp.ndarray,
                                validbits_local: jnp.ndarray, k: int,
                                capacity: int, seed: int, axis: str,
-                               passes: int) -> CountResult:
+                               passes: int,
+                               aggregate: str = "compact") -> CountResult:
     win = kmer_ops.kmer_windows_packed(words_local, validbits_local, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
     return _sharded_count_tail(canon, win.valid, words_local.shape[0],
                                win.n_windows, k, capacity, seed, axis,
-                               passes)
+                               passes, aggregate)
 
 
 _COUNTER_METRICS = ("reads", "kmers_emitted", "windows_skipped",
@@ -128,7 +192,8 @@ _COUNTER_METRICS = ("reads", "kmers_emitted", "windows_skipped",
 
 def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
                          seed: int = 0, axis: str = "d",
-                         route_passes: int = 1, packed: bool = False):
+                         route_passes: int = 1, packed: bool = False,
+                         aggregate: str = "compact"):
     """Build a jitted sharded counting step over `mesh`.
 
     Returns fn(reads [B, L] sharded over axis on dim 0) -> CountResult where
@@ -143,14 +208,21 @@ def make_sharded_counter(mesh: Mesh, k: int, *, route_capacity: int,
     route_passes > 1 re-routes bucket overflow in extra all_to_all rounds
     (exact results while every destination load <= passes * capacity); what
     still overflows is reported in metrics, never silently dropped.
+
+    aggregate="unit" (streaming-consolidation mode) returns per-shard
+    UnitTables -- the routed lanes themselves, no per-shard sort.
     """
+    if aggregate == "unit":
+        table_spec = count_ops.UnitTable(keys=U64(P(axis), P(axis)))
+    else:
+        table_spec = CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                                n_unique=P(axis))
     out_spec = CountResult(
-        table=CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
-                         n_unique=P(axis)),
+        table=table_spec,
         metrics={m: P() for m in _COUNTER_METRICS},
     )
     kw = dict(k=k, capacity=route_capacity, seed=seed, axis=axis,
-              passes=route_passes)
+              passes=route_passes, aggregate=aggregate)
 
     def wrapped(*args):
         if packed:
@@ -173,6 +245,9 @@ def global_table(result: CountResult) -> CountTable:
     by construction, so this is a re-sort, not a re-count (the per-key
     counts are carried as weights and remain exact)."""
     t = result.table
+    if isinstance(t, count_ops.UnitTable):
+        hi, lo, w, live = count_ops._table_parts(t)
+        return count_ops.count_weighted(U64(hi, lo), live, w)
     d, cap = t.counts.shape
     idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
     live = idx < t.n_unique[:, None]                         # [D, cap]
@@ -215,45 +290,55 @@ def canonical_kmers_wide(reads: jnp.ndarray, k: int):
     return kmer_ops.canonical_word_wide(win.fw, win.rc), win.valid
 
 
-def count_reads_wide(reads: jnp.ndarray, k: int,
-                     compact: bool = True) -> CountResult:
-    """Single-device counter for multi-word k (BASELINE config 3)."""
+def count_reads_wide(reads: jnp.ndarray, k: int, compact: bool = True,
+                     aggregate: Optional[str] = None) -> CountResult:
+    """Single-device counter for multi-word k (BASELINE config 3).  See
+    count_reads for `aggregate`; "unit" needs k <= 63 (spare flag bit in
+    hi.hi)."""
+    mode = _resolve_aggregate(compact, aggregate)
     canon, valid = canonical_kmers_wide(reads, k)
-    table = count_ops.count_words_wide(canon, valid, max_k=k,
-                                       compact=compact)
+    emitted = valid.sum().astype(jnp.int32)
+    if mode == "unit":
+        assert 33 <= k <= 63
+        table = count_ops.unit_table_wide(canon, valid)
+    else:
+        table = count_ops.count_words_wide(canon, valid, max_k=k,
+                                           compact=mode == "compact")
     n_win = reads.shape[-1] - k + 1
-    metrics = {
-        "reads": jnp.int32(reads.shape[0]),
-        "kmers_emitted": valid.sum().astype(jnp.int32),
-        "windows_skipped":
-            jnp.int32(reads.shape[0] * n_win) - valid.sum().astype(jnp.int32),
-    }
-    return CountResult(table=table, metrics=metrics)
+    return CountResult(
+        table=table, metrics=_count_metrics(reads.shape[0], n_win, emitted))
 
 
 def count_reads_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
-                            k: int, compact: bool = True) -> CountResult:
+                            k: int, compact: bool = True,
+                            aggregate: Optional[str] = None) -> CountResult:
     """count_reads_wide over packed ingest batches (33 <= k <= 64)."""
+    mode = _resolve_aggregate(compact, aggregate)
     win = kmer_ops.kmer_windows_packed_wide(words, validbits, k)
     canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
-    table = count_ops.count_words_wide(canon, win.valid, max_k=k,
-                                       compact=compact)
-    metrics = {
-        "reads": jnp.int32(words.shape[0]),
-        "kmers_emitted": win.valid.sum().astype(jnp.int32),
-        "windows_skipped":
-            jnp.int32(words.shape[0] * win.n_windows)
-            - win.valid.sum().astype(jnp.int32),
-    }
-    return CountResult(table=table, metrics=metrics)
+    emitted = win.valid.sum().astype(jnp.int32)
+    if mode == "unit":
+        assert 33 <= k <= 63
+        table = count_ops.unit_table_wide(canon, win.valid)
+    else:
+        table = count_ops.count_words_wide(canon, win.valid, max_k=k,
+                                           compact=mode == "compact")
+    return CountResult(
+        table=table,
+        metrics=_count_metrics(words.shape[0], win.n_windows, emitted))
 
 
 def _sharded_count_tail_wide(canon, valid, n_reads: int, n_win: int, k: int,
                              capacity: int, seed: int, axis: str,
-                             passes: int) -> CountResult:
+                             passes: int, aggregate: str = "compact"
+                             ) -> CountResult:
     routed = route_ops.route_wide(canon, valid, axis, capacity, seed,
                                   passes=passes)
-    table = count_ops.count_words_wide(routed.words, routed.valid, max_k=k)
+    if aggregate == "unit":
+        table = count_ops.unit_table_wide(routed.words, routed.valid)
+    else:
+        table = count_ops.count_words_wide(routed.words, routed.valid,
+                                           max_k=k)
     emitted = valid.sum().astype(jnp.int32)
     metrics = {
         "reads": jax.lax.psum(jnp.int32(n_reads), axis),
@@ -269,38 +354,48 @@ def _sharded_count_tail_wide(canon, valid, n_reads: int, n_win: int, k: int,
 
 
 def _sharded_count_body_wide(reads_local: jnp.ndarray, k: int, capacity: int,
-                             seed: int, axis: str, passes: int) -> CountResult:
+                             seed: int, axis: str, passes: int,
+                             aggregate: str = "compact") -> CountResult:
     canon, valid = canonical_kmers_wide(reads_local, k)
     return _sharded_count_tail_wide(canon, valid, reads_local.shape[0],
                                     reads_local.shape[-1] - k + 1, k,
-                                    capacity, seed, axis, passes)
+                                    capacity, seed, axis, passes, aggregate)
 
 
 def _sharded_count_body_wide_packed(words_local, validbits_local, k: int,
                                     capacity: int, seed: int, axis: str,
-                                    passes: int) -> CountResult:
+                                    passes: int,
+                                    aggregate: str = "compact") -> CountResult:
     win = kmer_ops.kmer_windows_packed_wide(words_local, validbits_local, k)
     canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
     return _sharded_count_tail_wide(canon, win.valid, words_local.shape[0],
                                     win.n_windows, k, capacity, seed, axis,
-                                    passes)
+                                    passes, aggregate)
 
 
 def make_sharded_counter_wide(mesh: Mesh, k: int, *, route_capacity: int,
                               seed: int = 0, axis: str = "d",
-                              route_passes: int = 1, packed: bool = False):
+                              route_passes: int = 1, packed: bool = False,
+                              aggregate: str = "compact"):
     """Sharded counter for 33 <= k <= 64 (2xu64 keys); packed=True takes
-    (words, validbits) ingest batches like make_sharded_counter."""
+    (words, validbits) ingest batches like make_sharded_counter.
+    aggregate="unit" needs k <= 63 (spare flag bit)."""
     from .count import CountTableWide
 
-    out_spec = CountResult(
-        table=CountTableWide(
+    if aggregate == "unit":
+        assert 33 <= k <= 63
+        table_spec = count_ops.UnitTableWide(
+            keys=U128(U64(P(axis), P(axis)), U64(P(axis), P(axis))))
+    else:
+        table_spec = CountTableWide(
             keys=U128(U64(P(axis), P(axis)), U64(P(axis), P(axis))),
-            counts=P(axis), n_unique=P(axis)),
+            counts=P(axis), n_unique=P(axis))
+    out_spec = CountResult(
+        table=table_spec,
         metrics={m: P() for m in _COUNTER_METRICS},
     )
     kw = dict(k=k, capacity=route_capacity, seed=seed, axis=axis,
-              passes=route_passes)
+              passes=route_passes, aggregate=aggregate)
 
     def wrapped(*args):
         if packed:

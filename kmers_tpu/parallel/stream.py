@@ -3,14 +3,20 @@
 Real datasets do not fit one device call; this module folds a stream of
 [B, L] batches into a fixed-capacity device count table:
 
-  per batch:    count_reads (fused windows+canonical+sort+count)
+  per batch:    UNIT emission -- the fused window kernel's raw folded
+                canonical keys wrapped as a count.UnitTable.  No per-batch
+                sort or run-length pass AT ALL: the consolidation below
+                sorts every pending lane regardless (static shapes), so
+                any per-batch aggregation is pure overhead -- the rounds
+                2/3 global-sort / segment-sort steps reduced its cost by
+                exactly zero (see count.UnitTable).  k = 32 / 64 (no
+                spare flag bit) fall back to the run-length form.
   consolidate:  DEFERRED -- per-batch tables accumulate in a pending list
                 and are merged into the main table only every
                 `merge_every` batches (and before any read of the table):
-                one concat + weighted re-count + rank-evict.  Merging into
-                an 8M-entry table per 1M-k-mer batch would cost ~3x the
-                counting itself; deferring amortizes the big sort over
-                `merge_every` batches.
+                one concat + weighted re-count; a rank-evict pass runs
+                ONLY when the merged table overflows capacity (lax.cond --
+                the common sized-right case is 2 device sorts, not 4).
 
 Keys are kept sorted, so a consolidation is one sort of
 (capacity + merge_every * batch) lanes -- no scatter, no host round-trip
@@ -56,71 +62,102 @@ def _merge_bounded(table: CountTable, pending: tuple, capacity: int,
                    max_k=None):
     merged = count_ops.merge_many((table,) + tuple(pending), max_k=max_k)
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
-    live = idx < merged.n_unique
-    # rank by (dead last, count desc, key asc): the first `capacity` lanes
-    # are the keepers -- lowest-count entries are evicted first, ties evict
-    # the largest keys (see module docstring)
-    maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
-    dead = (~live).astype(jnp.uint32)
-    inv_count = jnp.where(live, maxi - merged.counts, maxi)
-    _, _, r_hi, r_lo, r_cnt = jax.lax.sort(
-        (dead, inv_count, merged.keys.hi, merged.keys.lo, merged.counts),
-        num_keys=4, is_stable=True)
-    dropped_unique = jnp.maximum(merged.n_unique - capacity, 0)
-    dropped_kmers = jnp.where(idx >= capacity,
-                              jnp.where(idx < merged.n_unique, r_cnt, 0),
-                              0).sum()
-    # restore the key-sorted invariant on the kept prefix (live first)
-    kept_live = idx[:capacity] < jnp.minimum(merged.n_unique, capacity)
-    k_dead = (~kept_live).astype(jnp.uint32)
-    _, s_hi, s_lo, s_cnt = jax.lax.sort(
-        (k_dead, r_hi[:capacity], r_lo[:capacity], r_cnt[:capacity]),
-        num_keys=3, is_stable=True)
-    n_kept = jnp.minimum(merged.n_unique, capacity)
-    kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
-    out = CountTable(
-        keys=U64(jnp.where(kept, s_hi, 0), jnp.where(kept, s_lo, 0)),
-        counts=jnp.where(kept, s_cnt, 0),
-        n_unique=n_kept,
-    )
-    return out, dropped_unique.astype(jnp.int32), dropped_kmers.astype(jnp.int32)
+
+    def no_evict(m: CountTable):
+        # merged fits: m is compact and key-sorted, every live lane is in
+        # the first n_unique <= capacity slots -- the bounded table is a
+        # free slice, no further sorting.  This is the common case (sized
+        # capacity above the distinct count); it halves the consolidation
+        # from 4 device sorts to the 2 inside count_weighted.
+        out = CountTable(
+            keys=U64(m.keys.hi[:capacity], m.keys.lo[:capacity]),
+            counts=m.counts[:capacity], n_unique=m.n_unique)
+        return out, jnp.int32(0), jnp.int32(0)
+
+    def evict(m: CountTable):
+        live = idx < m.n_unique
+        # rank by (dead last, count desc, key asc): the first `capacity`
+        # lanes are the keepers -- lowest-count entries are evicted first,
+        # ties evict the largest keys (see module docstring)
+        maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
+        dead = (~live).astype(jnp.uint32)
+        inv_count = jnp.where(live, maxi - m.counts, maxi)
+        _, _, r_hi, r_lo, r_cnt = jax.lax.sort(
+            (dead, inv_count, m.keys.hi, m.keys.lo, m.counts),
+            num_keys=4, is_stable=True)
+        dropped_unique = jnp.maximum(m.n_unique - capacity, 0)
+        dropped_kmers = jnp.where(idx >= capacity,
+                                  jnp.where(idx < m.n_unique, r_cnt, 0),
+                                  0).sum()
+        # restore the key-sorted invariant on the kept prefix (live first)
+        kept_live = idx[:capacity] < jnp.minimum(m.n_unique, capacity)
+        k_dead = (~kept_live).astype(jnp.uint32)
+        _, s_hi, s_lo, s_cnt = jax.lax.sort(
+            (k_dead, r_hi[:capacity], r_lo[:capacity], r_cnt[:capacity]),
+            num_keys=3, is_stable=True)
+        n_kept = jnp.minimum(m.n_unique, capacity)
+        kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
+        out = CountTable(
+            keys=U64(jnp.where(kept, s_hi, 0), jnp.where(kept, s_lo, 0)),
+            counts=jnp.where(kept, s_cnt, 0),
+            n_unique=n_kept,
+        )
+        return (out, dropped_unique.astype(jnp.int32),
+                dropped_kmers.astype(jnp.int32))
+
+    return jax.lax.cond(merged.n_unique <= capacity, no_evict, evict,
+                        merged)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "max_k"))
 def _merge_bounded_wide(table: CountTableWide, pending: tuple, capacity: int,
                         max_k=None):
     """_merge_bounded for 128-bit keys (33 <= k <= 64): same eviction policy
-    (lowest count first, ties evict largest keys), 4 key words per lane."""
+    (lowest count first, ties evict largest keys), 4 key words per lane,
+    same free-slice fast path when the merged table fits."""
     merged = count_ops.merge_many_wide((table,) + tuple(pending),
                                        max_k=max_k)
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
-    live = idx < merged.n_unique
-    maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
-    dead = (~live).astype(jnp.uint32)
-    inv_count = jnp.where(live, maxi - merged.counts, maxi)
-    mk = merged.keys
-    _, _, r_hh, r_hl, r_lh, r_ll, r_cnt = jax.lax.sort(
-        (dead, inv_count, mk.hi.hi, mk.hi.lo, mk.lo.hi, mk.lo.lo,
-         merged.counts),
-        num_keys=6, is_stable=True)
-    dropped_unique = jnp.maximum(merged.n_unique - capacity, 0)
-    dropped_kmers = jnp.where(idx >= capacity,
-                              jnp.where(idx < merged.n_unique, r_cnt, 0),
-                              0).sum()
-    kept_live = idx[:capacity] < jnp.minimum(merged.n_unique, capacity)
-    k_dead = (~kept_live).astype(jnp.uint32)
-    _, s_hh, s_hl, s_lh, s_ll, s_cnt = jax.lax.sort(
-        (k_dead, r_hh[:capacity], r_hl[:capacity], r_lh[:capacity],
-         r_ll[:capacity], r_cnt[:capacity]),
-        num_keys=5, is_stable=True)
-    n_kept = jnp.minimum(merged.n_unique, capacity)
-    kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
-    z = lambda x: jnp.where(kept, x, 0)
-    out = CountTableWide(
-        keys=U128(U64(z(s_hh), z(s_hl)), U64(z(s_lh), z(s_ll))),
-        counts=z(s_cnt), n_unique=n_kept)
-    return (out, dropped_unique.astype(jnp.int32),
-            dropped_kmers.astype(jnp.int32))
+
+    def no_evict(m: CountTableWide):
+        s = lambda x: x[:capacity]
+        out = CountTableWide(
+            keys=U128(U64(s(m.keys.hi.hi), s(m.keys.hi.lo)),
+                      U64(s(m.keys.lo.hi), s(m.keys.lo.lo))),
+            counts=s(m.counts), n_unique=m.n_unique)
+        return out, jnp.int32(0), jnp.int32(0)
+
+    def evict(m: CountTableWide):
+        live = idx < m.n_unique
+        maxi = jnp.int32(jnp.iinfo(jnp.int32).max)
+        dead = (~live).astype(jnp.uint32)
+        inv_count = jnp.where(live, maxi - m.counts, maxi)
+        mk = m.keys
+        _, _, r_hh, r_hl, r_lh, r_ll, r_cnt = jax.lax.sort(
+            (dead, inv_count, mk.hi.hi, mk.hi.lo, mk.lo.hi, mk.lo.lo,
+             m.counts),
+            num_keys=6, is_stable=True)
+        dropped_unique = jnp.maximum(m.n_unique - capacity, 0)
+        dropped_kmers = jnp.where(idx >= capacity,
+                                  jnp.where(idx < m.n_unique, r_cnt, 0),
+                                  0).sum()
+        kept_live = idx[:capacity] < jnp.minimum(m.n_unique, capacity)
+        k_dead = (~kept_live).astype(jnp.uint32)
+        _, s_hh, s_hl, s_lh, s_ll, s_cnt = jax.lax.sort(
+            (k_dead, r_hh[:capacity], r_hl[:capacity], r_lh[:capacity],
+             r_ll[:capacity], r_cnt[:capacity]),
+            num_keys=5, is_stable=True)
+        n_kept = jnp.minimum(m.n_unique, capacity)
+        kept = jnp.arange(capacity, dtype=jnp.int32) < n_kept
+        z = lambda x: jnp.where(kept, x, 0)
+        out = CountTableWide(
+            keys=U128(U64(z(s_hh), z(s_hl)), U64(z(s_lh), z(s_ll))),
+            counts=z(s_cnt), n_unique=n_kept)
+        return (out, dropped_unique.astype(jnp.int32),
+                dropped_kmers.astype(jnp.int32))
+
+    return jax.lax.cond(merged.n_unique <= capacity, no_evict, evict,
+                        merged)
 
 
 class StreamingCounter:
@@ -139,25 +176,31 @@ class StreamingCounter:
         self.wide = k > 32
         self.capacity = capacity
         self.merge_every = max(1, merge_every)
+        # Per-batch table form: "unit" (raw folded canonical keys, NO
+        # per-batch aggregation -- the consolidation sorts every pending
+        # lane regardless, see count.UnitTable) whenever the spare flag
+        # bit exists; k = 32 / 64 keys use all 2k bits, so those fall back
+        # to the round-3 run-length form.
+        self._aggregate = ("unit" if (k <= 31 or 33 <= k <= 63)
+                           else "runlength")
+        agg = self._aggregate
         z = jnp.zeros(capacity, dtype=jnp.uint32)
         if self.wide:
-            # compact=False: per-batch tables are run-length form (half the
-            # sort cost); compaction happens once per consolidation
             self._count = jax.jit(
-                lambda a: pipeline.count_reads_wide(a, k, compact=False))
+                lambda a: pipeline.count_reads_wide(a, k, aggregate=agg))
             self._count_packed = jax.jit(
                 lambda w, v: pipeline.count_reads_packed_wide(
-                    w, v, k, compact=False))
+                    w, v, k, aggregate=agg))
             self.table = CountTableWide(
                 keys=U128(U64(z, z), U64(z, z)),
                 counts=jnp.zeros(capacity, jnp.int32),
                 n_unique=jnp.int32(0))
         else:
             self._count = jax.jit(
-                lambda a: pipeline.count_reads(a, k, compact=False))
+                lambda a: pipeline.count_reads(a, k, aggregate=agg))
             self._count_packed = jax.jit(
                 lambda w, v: pipeline.count_reads_packed(w, v, k,
-                                                         compact=False))
+                                                         aggregate=agg))
             self.table = CountTable(keys=U64(z, z),
                                     counts=jnp.zeros(capacity, jnp.int32),
                                     n_unique=jnp.int32(0))
@@ -203,7 +246,7 @@ class StreamingCounter:
         # compile relays)
         caps = {t.capacity for t in pending}
         if len(caps) == 1 and len(pending) < self.merge_every:
-            empty = jax.tree.map(jnp.zeros_like, pending[0])
+            empty = count_ops.empty_like_table(pending[0])
             pending += [empty] * (self.merge_every - len(pending))
         merge = _merge_bounded_wide if self.wide else _merge_bounded
         new_table, du, dk = merge(
@@ -346,11 +389,12 @@ class ShardedStreamingCounter(StreamingCounter):
         mk = (pl.make_sharded_counter_wide if self.wide
               else pl.make_sharded_counter)
         self._scount = mk(self.mesh, k, route_capacity=route_capacity,
-                          route_passes=route_passes, seed=seed)
+                          route_passes=route_passes, seed=seed,
+                          aggregate=self._aggregate)
         self._scount_packed = mk(self.mesh, k,
                                  route_capacity=route_capacity,
                                  route_passes=route_passes, seed=seed,
-                                 packed=True)
+                                 packed=True, aggregate=self._aggregate)
         # multi-host: host-side reads (to_pairs/save) need the merged table
         # fully replicated; this jit inserts the all_gather
         self._replicate = jax.jit(lambda t: t,

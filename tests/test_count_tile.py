@@ -105,3 +105,83 @@ def test_segmented_table_merges_to_exact_counts():
                                   np.asarray(want.counts)[:nu])
     # segmented n_unique counts (segment, key) runs: an upper bound
     assert int(seg.n_unique) >= nu
+
+
+# -- wide (4-plane, 33 <= k <= 63) kernel -------------------------------------
+
+from kmers_tpu.core.u64 import U64 as _U64
+from kmers_tpu.core.u128 import U128
+from kmers_tpu.kernels.count_tile import segment_count_keys_wide
+
+
+def _folded_keys_wide(n, n_distinct=40, invalid_frac=0.1):
+    uni = [RNG.integers(0, 1 << (30 if i == 0 else 32), n_distinct,
+                        dtype=np.uint32) for i in range(4)]
+    pick = RNG.integers(0, n_distinct, n)
+    planes = [u[pick].copy() for u in uni]
+    inv = RNG.random(n) < invalid_frac
+    planes[0][inv] = 0x80000000
+    for p in planes[1:]:
+        p[inv] = 0
+    return planes, ~inv
+
+
+def _np_segment_model_wide(planes, valid, T, block):
+    n = planes[0].size
+    n_pad = -(-n // block) * block
+    outs = [np.zeros(n_pad, np.uint32) for _ in range(4)]
+    out_cnt = np.zeros(n_pad, np.int32)
+    for s0 in range(0, n_pad, T):
+        seg = slice(s0, min(s0 + T, n))
+        vs = [p[seg][valid[seg]] for p in planes]
+        keys = [tuple(int(p[i]) for p in vs) for i in range(vs[0].size)]
+        keys.sort()
+        p = s0
+        for key in keys:
+            for o, w in zip(outs, key):
+                o[p] = w
+            p += 1
+        p = s0
+        i = 0
+        while i < len(keys):
+            j = i
+            while j < len(keys) and keys[j] == keys[i]:
+                j += 1
+            out_cnt[s0 + i] = j - i
+            i = j
+    return outs, out_cnt
+
+
+@pytest.mark.parametrize("n,S,B", [(1024, 256, 256), (2048, 64, 1024),
+                                   (700, 128, 512)])
+def test_segment_count_wide_matches_model(n, S, B):
+    planes, valid = _folded_keys_wide(n)
+    outs = segment_count_keys_wide(*[jnp.asarray(p) for p in planes],
+                                   seg_lanes=S, block_lanes=B,
+                                   interpret=True)
+    model_planes, model_cnt = _np_segment_model_wide(planes, valid, S, B)
+    for got, want in zip(outs[:4], model_planes):
+        np.testing.assert_array_equal(np.asarray(got), want)
+    np.testing.assert_array_equal(np.asarray(outs[4]), model_cnt)
+
+
+def test_segmented_wide_table_merges_to_exact_counts():
+    planes, valid = _folded_keys_wide(2048, n_distinct=23)
+    words = U128(_U64(jnp.asarray(planes[0] & 0x7FFFFFFF),
+                      jnp.asarray(planes[1])),
+                 _U64(jnp.asarray(planes[2]), jnp.asarray(planes[3])))
+    v = jnp.asarray(valid)
+    seg = count_ops.count_words_segmented_wide(
+        words, v, seg_lanes=128, block_lanes=1024, interpret=True)
+    merged = count_ops.merge_many_wide([seg], max_k=63)
+    want = count_ops.count_words_wide(words, v, max_k=63, compact=True)
+    nu = int(want.n_unique)
+    assert int(merged.n_unique) == nu
+    for part in ("hi", "lo"):
+        for w in ("hi", "lo"):
+            a = np.asarray(getattr(getattr(merged.keys, part), w))[:nu]
+            b = np.asarray(getattr(getattr(want.keys, part), w))[:nu]
+            np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(merged.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+    assert int(seg.n_unique) >= nu

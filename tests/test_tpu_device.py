@@ -1,0 +1,160 @@
+"""Compiled-kernel exactness ON THE REAL CHIP (VERDICT r3 item 7).
+
+The rest of the suite tests Pallas kernels in interpret mode; a
+regression in the actual Mosaic lowering would previously surface only
+as a bench surprise.  This lane runs the same kernel-vs-reference
+assertions with interpret=False on a TPU backend:
+
+    KMERS_TPU_TEST_TPU=1 python -m pytest -m tpu
+
+Off-TPU (the default CPU-pinned suite) every test here skips.  Mirrors
+the reference's practice of running its full matrix on real targets
+(/root/reference/.github/workflows/main.yml:29-57).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        not os.environ.get("KMERS_TPU_TEST_TPU")
+        or jax.default_backend() not in ("tpu",),
+        reason="needs KMERS_TPU_TEST_TPU=1 and a TPU backend"),
+]
+
+RNG = np.random.default_rng(77)
+
+
+def rand_reads(B, L, n_rate=0.03):
+    return jnp.asarray(RNG.choice(
+        np.frombuffer(b"ACGTNacgt", dtype=np.uint8), size=(B, L),
+        p=[(1 - n_rate - 0.2) / 4] * 4 + [n_rate] + [0.05] * 4))
+
+
+def test_window_kernel_compiled_matches_jnp():
+    from kmers_tpu.core import u64 as u
+    from kmers_tpu.kernels import window as kwin
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    k = 31
+    reads = rand_reads(256, 160)
+    ch, cl, hh, hl, v8 = (np.asarray(x) for x in
+                          kwin.pack_canonical_hash(reads, k))
+    win = kmer_ops.kmer_windows(reads, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    h = u.mix_hash(canon, 0)
+    valid = np.asarray(win.valid)
+    np.testing.assert_array_equal(v8.astype(bool), valid)
+    for got, want in ((ch, canon.hi), (cl, canon.lo), (hh, h.hi),
+                      (hl, h.lo)):
+        np.testing.assert_array_equal(got[valid], np.asarray(want)[valid])
+
+
+def test_folded_keys_kernel_compiled():
+    from kmers_tpu.kernels import window as kwin
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    k = 27
+    reads = rand_reads(256, 160)
+    kh, kl = (np.asarray(x) for x in kwin.pack_canonical_keys(reads, k))
+    win = kmer_ops.kmer_windows(reads, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    valid = np.asarray(win.valid)
+    np.testing.assert_array_equal((kh >> 31) == 0, valid)
+    np.testing.assert_array_equal(kh[valid], np.asarray(canon.hi)[valid])
+    np.testing.assert_array_equal(kl[valid], np.asarray(canon.lo)[valid])
+    assert (kh[~valid] == 0x80000000).all() and (kl[~valid] == 0).all()
+
+
+def test_wide_window_kernel_compiled():
+    from kmers_tpu.core import u128 as u128mod
+    from kmers_tpu.kernels import window_wide as kww
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    k = 63
+    reads = rand_reads(256, 160)
+    out = kww.pack_canonical_hash_wide(reads, k)
+    win = kmer_ops.kmer_windows_wide(reads, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    h = u128mod.mix_hash(canon, 0)
+    valid = np.asarray(win.valid)
+    np.testing.assert_array_equal(np.asarray(out[6]).astype(bool), valid)
+    wants = (canon.lo.lo, canon.lo.hi, canon.hi.lo, canon.hi.hi, h.hi, h.lo)
+    for got, want in zip(out[:6], wants):
+        np.testing.assert_array_equal(np.asarray(got)[valid],
+                                      np.asarray(want)[valid])
+
+
+def test_minimizer_kernel_compiled():
+    from kmers_tpu.kernels import minimizer as kmini
+    from kmers_tpu.ops import hash as hash_ops
+    from kmers_tpu.ops import minimizer as mini_ops
+
+    k, w = 31, 11
+    reads = rand_reads(64, 160)
+    wh, wl, pos, v8 = (np.asarray(x) for x in
+                       kmini.minimizer_kernel(reads, k, w))
+    mm = mini_ops.minimizer_stream(reads, k, w, hash_ops.mix_hash_fn(0))
+    valid = np.asarray(mm.valid)
+    np.testing.assert_array_equal(v8.astype(bool), valid)
+    np.testing.assert_array_equal(wh[valid], np.asarray(mm.word.hi)[valid])
+    np.testing.assert_array_equal(wl[valid], np.asarray(mm.word.lo)[valid])
+    np.testing.assert_array_equal(pos[valid], np.asarray(mm.pos)[valid])
+
+
+def test_segment_count_compiled_matches_model():
+    """ADVICE r3: the default streaming-count kernel's actual Mosaic
+    lowering vs the numpy model (was interpret-only)."""
+    from test_count_tile import _folded_keys, _np_segment_model
+    from kmers_tpu.kernels.count_tile import segment_count_keys
+
+    hi, lo, valid = _folded_keys(4096)
+    for S in (64, 256):
+        kh, kl, cnt = segment_count_keys(jnp.asarray(hi), jnp.asarray(lo),
+                                         seg_lanes=S, block_lanes=4096,
+                                         interpret=False)
+        mh, ml, mc = _np_segment_model(hi, lo, valid, S, 4096)
+        np.testing.assert_array_equal(np.asarray(kh), mh)
+        np.testing.assert_array_equal(np.asarray(kl), ml)
+        np.testing.assert_array_equal(np.asarray(cnt), mc)
+
+
+def test_segment_count_wide_compiled_matches_model():
+    from test_count_tile import _folded_keys_wide, _np_segment_model_wide
+    from kmers_tpu.kernels.count_tile import segment_count_keys_wide
+
+    planes, valid = _folded_keys_wide(2048)
+    outs = segment_count_keys_wide(*[jnp.asarray(p) for p in planes],
+                                   seg_lanes=64, block_lanes=2048,
+                                   interpret=False)
+    model_planes, model_cnt = _np_segment_model_wide(planes, valid, 64,
+                                                     2048)
+    for got, want in zip(outs[:4], model_planes):
+        np.testing.assert_array_equal(np.asarray(got), want)
+    np.testing.assert_array_equal(np.asarray(outs[4]), model_cnt)
+
+
+def test_streaming_counter_on_device_exact():
+    """End-to-end on the chip: StreamingCounter (unit passthrough mode +
+    Pallas folded-key kernel + cond-merge) vs the scalar oracle."""
+    from collections import Counter
+
+    from kmers_tpu.oracle import numpy_ref as o
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    k = 31
+    rows = np.asarray(rand_reads(512, 96))
+    expect = Counter()
+    for row in rows:
+        for _pos, fw, rc in o.CanonicalKmerIterator(row.tobytes(), k):
+            expect[min(fw, rc)] += 1
+    sc = StreamingCounter(k, capacity=1 << 16, merge_every=2)
+    for i in range(0, 512, 128):
+        sc.update(jnp.asarray(rows[i:i + 128]))
+    assert dict(sc.to_pairs()) == dict(expect)
+    assert sc.kmers == sum(expect.values())
