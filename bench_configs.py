@@ -275,6 +275,23 @@ def generic_layer_bench():
         emit(f"generic_encode_revcomp_u64_{enc_name}", rate, "kmers/s",
              f"N={N}")
 
+    # windowed construction (round 4; VERDICT r3 item 5): every base
+    # encoded once, windows assembled from the shared log-doubling pack --
+    # vs the per-kmer [N, 31] layout above that re-reads each base k times
+    B, L = 2048, 1024
+    reads0 = first_reads(B, L, 8)
+    for enc_name in ("xor10", "ACGT"):
+        spec = g.GenericSpec(64, 31, enc_name)
+
+        def win_step(reads, spec=spec):
+            lanes, _valid = g.encode_windows(spec, reads)
+            return benchlib.ascii_from_codes(lanes[0] ^ lanes[1])
+
+        rate = benchlib.chain_rate(win_step, reads0, B * (L - 31 + 1))
+        emit(f"generic_encode_windows_u64_{enc_name}", rate, "kmers/s",
+             f"B={B} L={L}; bit-exact vs per-window encode "
+             "(tests/test_generic.py)")
+
 
 def ablation():
     """Roofline ablation (VERDICT r2 item 5): the same fused window kernel
@@ -320,6 +337,43 @@ def ablation():
          "HBM-bound predicts 1.64, VPU-bound predicts 1.33")
     emit("ablate_pack_over_canon", rates["pack"] / rates["canon"], "x",
          "HBM-bound predicts 1.00, VPU-bound predicts 1.64")
+
+
+def minimizer_ablation():
+    """Traffic/op model + ablation for the minimizer kernel (VERDICT r3
+    item 3), k=31 w=11 (W=21 window scan).
+
+    Traffic (chain protocol, B/lane): 1 in + 13 out + ~5 chain = ~19
+      -> HBM ceiling 819/19 = 43 G lanes/s.
+    VPU ops/lane (round-4 kernel: unmasked rolls, pos-free 2-word
+    compare, 4-plane carry for w <= 16):
+      decode+valid ~8, pack ~13, hash ~34, vHGW 10 stages x ~14 + final
+      ~12 = ~152, validity ~9  => ~215 ops "full"; ~75 ops "hash" arm
+      -> VPU ceilings ~18 G (full) / ~51 G (hash) at 3.85 T ops/s.
+    The hash arm writes the same bytes as full, so rate(hash)/rate(full)
+    isolates the vHGW scan cost; whichever measured rate tracks its
+    model's ceiling tells which resource binds."""
+    from kmers_tpu.kernels import minimizer as kmini
+
+    K, W_, B, L = 31, 11, 2048, 1024
+    reads0 = first_reads(B, L, 13)
+    n = B * (L - K + 1)
+
+    def arm(stage):
+        def fn(reads):
+            wh, wl, pos, _v = kmini.minimizer_kernel(reads, K, W_,
+                                                     stage=stage)
+            return benchlib.ascii_from_codes(
+                wl ^ wh ^ pos.astype(jnp.uint32))
+        return fn
+
+    rates = {}
+    for stage, ops in (("full", 215), ("hash", 75)):
+        rates[stage] = benchlib.chain_rate(arm(stage), reads0, n)
+        emit(f"minimizer_{stage}_k31_w11", rates[stage], "kmers/s",
+             f"model: ~19 B/lane, ~{ops} VPU ops/lane")
+    emit("minimizer_hash_over_full", rates["hash"] / rates["full"], "x",
+         "VPU-bound predicts ~2.9, HBM-bound predicts 1.0")
 
 
 def streaming_sustained():
@@ -415,5 +469,7 @@ if __name__ == "__main__":
         ablation()
     elif "--stream" in sys.argv:
         streaming_sustained()
+    elif "--minimizer" in sys.argv:
+        minimizer_ablation()
     else:
         main()

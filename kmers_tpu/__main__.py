@@ -40,7 +40,9 @@ def _cmd_count(args) -> int:
                 args.k, args.capacity, merge_every=args.merge_every,
                 n_devices=args.devices,
                 route_capacity=args.route_capacity,
-                route_passes=args.route_passes)
+                route_passes=args.route_passes,
+                partition=args.partition,
+                minimizer_w=args.minimizer_w)
         return StreamingCounter(args.k, args.capacity,
                                 merge_every=args.merge_every)
 
@@ -84,7 +86,9 @@ def _cmd_count(args) -> int:
         Packed ingest (2-bit words + validity bitmaps, ~2.7x less upload) +
         background parse thread; ASCII fallback for length % 32 != 0."""
         nonlocal wrote_output
-        use_packed = args.length % 32 == 0 and not args.ascii_ingest
+        use_packed = (args.length % 32 == 0 and not args.ascii_ingest
+                      and not (args.devices > 1
+                               and args.partition == "minimizer"))
         if use_packed:
             it = fastx.read_packed_batches(args.input, k=args.k,
                                            batch=args.batch,
@@ -284,6 +288,18 @@ def main(argv=None) -> int:
                         "(sharded mode)")
     c.add_argument("--route-passes", type=int, default=1,
                    help="overflow re-route rounds (sharded mode)")
+    c.add_argument("--partition", choices=("hash", "minimizer"),
+                   default="hash",
+                   help="sharded-mode routing: 'hash' ships each k-mer to "
+                        "hash-prefix owners; 'minimizer' ships packed "
+                        "super-k-mer runs to minimizer owners (~4-6x "
+                        "fewer wire bytes; k <= 31, ASCII ingest).  NOTE "
+                        "--route-capacity is then a SUPER-K-MER budget: "
+                        "size it ~(k-w+2)/2 smaller than for hash mode "
+                        "(the receiver expands every lane to k-w+1 "
+                        "windows, so oversizing inflates merge lanes)")
+    c.add_argument("--minimizer-w", type=int, default=11,
+                   help="minimizer width for --partition minimizer")
     c.set_defaults(fn=_cmd_count)
 
     q = sub.add_parser("query", help="look up k-mers in a saved table")

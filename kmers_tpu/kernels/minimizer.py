@@ -53,14 +53,28 @@ from .window import _roll_left
 
 
 def _roll_right(a: jnp.ndarray, s: int) -> jnp.ndarray:
-    """a'[.., p] = a[.., (p-s) mod L] -- no mask (see module docstring)."""
+    """a'[.., p] = a[.., (p-s) mod L] -- no mask when L % 128 == 0.
+
+    Same Mosaic-lowering gate as window._roll_left: on a lane axis that
+    is not a multiple of the 128-lane register width, compiled unmasked
+    roll chains produced wrong interior values (see window.py), so
+    unaligned L takes the masked form (rolled-in lanes zeroed; the vHGW
+    take-masks never consume them anyway)."""
     if s == 0:
         return a
-    return pltpu.roll(a, shift=s, axis=a.ndim - 1)
+    L = a.shape[-1]
+    rolled = pltpu.roll(a, shift=s, axis=a.ndim - 1)
+    if L % 128 != 0:
+        iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+        # fill with the lane's own value: a self-candidate ties and ties
+        # take/keep harmlessly, so even a consumed fill cannot corrupt
+        return jnp.where(iota >= s, rolled, a)
+    return rolled
 
 
 def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
-                      *, k: int, w: int, seed: int, use_lex: bool):
+                      *, k: int, w: int, seed: int, use_lex: bool,
+                      stage: str = "full"):
     ascii_u8 = reads_ref[:]
     BB, L = ascii_u8.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
@@ -127,6 +141,22 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
     # 64-bit hash only -- leftmost ties fall out of the pull direction
     W = k - w + 1
     pos0 = iota
+
+    if stage == "hash":
+        # ablation arm: stop before the vHGW scan (same outputs shape,
+        # same HBM traffic) -- isolates the scan's VPU cost
+        v = valid
+        got = 1
+        while got < k:
+            step = got if got * 2 <= k else k - got
+            v = v & _roll_left(v, step)
+            got += step
+        v = v & (iota < L - k + 1).astype(jnp.uint32)
+        word_hi_ref[:] = wm_hi
+        word_lo_ref[:] = wm_lo
+        pos_ref[:] = h_lo.astype(jnp.int32) ^ h_hi.astype(jnp.int32)
+        valid_ref[:] = v.astype(jnp.uint8)
+        return
 
     def less(a, b):        # a < b on (h_hi, h_lo)
         return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
@@ -199,10 +229,11 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "seed", "use_lex",
-                                             "block_rows", "interpret"))
+                                             "block_rows", "interpret",
+                                             "stage"))
 def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
                      use_lex: bool = False, block_rows: int = 64,
-                     interpret: bool = False):
+                     interpret: bool = False, stage: str = "full"):
     """Per-k-mer minimizers over [B, L] uint8 reads.
 
     Returns (word_hi, word_lo, pos, valid_u8), all [B, L]: entry p is the
@@ -223,9 +254,10 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     # the vHGW path keeps two 4/5-tuple carries (S/R) live across
     # O(log W) roll passes -- ~10 u32 blocks of VMEM regardless of W;
     # keep blocks small and the scoped-vmem cap raised
+    assert stage in ("full", "hash")
     return pl.pallas_call(
         functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
-                          use_lex=use_lex),
+                          use_lex=use_lex, stage=stage),
         grid=(B // bb,),
         in_specs=[spec],
         out_specs=(spec, spec, spec, spec),

@@ -40,19 +40,31 @@ def _shift_left_roll(a: jnp.ndarray, s: int, iota: jnp.ndarray) -> jnp.ndarray:
 
 
 def _roll_left(a: jnp.ndarray, s: int) -> jnp.ndarray:
-    """a'[.., p] = a[.., (p+s) mod L] -- NO tail mask.
+    """a'[.., p] = a[.., (p+s) mod L] -- NO tail mask (when safe).
 
     Compute-saver for the window kernel: a k-window at lane p only reads
     lanes p..p+k-1, all < L whenever the window is structurally valid
     (p <= L-k), so wrap-around garbage lands exclusively in lanes the final
     validity AND (iota < L-k+1) marks invalid -- and those lanes' outputs
     are zeroed wholesale at the end.  Saves one compare + one select per
-    roll (~10 rolls/lane) over _shift_left_roll."""
+    roll (~10 rolls/lane) over _shift_left_roll.
+
+    ONLY when L % 128 == 0: Mosaic's compiled lowering of an unmasked
+    full-rotation roll over a lane axis that is NOT a multiple of the
+    128-lane register width produced wrong values at ~1% of INTERIOR
+    (structurally valid) lanes -- caught by the round-4 on-device test
+    lane (tests/test_tpu_device.py, L=160: 239/14761 valid lanes wrong;
+    L=256: 0; interpret mode: 0; the masked form: 0 everywhere).  For
+    unaligned L we fall back to the masked form, which never consumes
+    rolled-in lanes."""
     if s == 0:
         return a
     L = a.shape[-1]
     if s >= L:
         return jnp.zeros_like(a)
+    if L % 128 != 0:
+        iota = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+        return _shift_left_roll(a, s, iota)
     return pltpu.roll(a, shift=L - s, axis=len(a.shape) - 1)
 
 

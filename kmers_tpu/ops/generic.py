@@ -112,6 +112,44 @@ def encode(spec: GenericSpec, ascii_u8: jnp.ndarray) -> Lanes:
     return pack(spec, base_codes(spec, ascii_u8))
 
 
+def encode_windows(spec: GenericSpec, ascii_u8: jnp.ndarray):
+    """Kmer::new over ALL k-windows of [.., L] reads at once: returns
+    (lanes, valid) where lanes[j][.., p] is word-lane j of the k-mer
+    starting at base p, and valid[p] = (p <= L-k) (the generic encoder
+    itself accepts any byte, reference encoding/naive.rs:14-16 -- there
+    is no N concept at this layer, so validity is structural only).
+
+    This is the windowed construction VERDICT r3 item 5 asked for: the
+    per-kmer layout (encode on [N, k] slices) re-reads every base k
+    times; here each base is encoded ONCE and windows are assembled from
+    the shared 16-base log-doubling pack (ops.kmer.pack_u32_words), the
+    same trick the fused naive_impl window kernel uses
+    (kernels/window.py).  Bit-identical to per-window `encode`
+    (reference construct loop, benches/simple_benchmark.rs:14-34) at
+    valid positions; lanes at p > L-k are garbage (mask them).
+    """
+    from . import kmer as kmer_ops
+
+    k = spec.k
+    assert k <= ascii_u8.shape[-1]
+    L = ascii_u8.shape[-1]
+    codes = base_codes(spec, ascii_u8).astype(jnp.uint32)
+    w16 = kmer_ops.pack_u32_words(codes)
+    lanes = []
+    for j in range(spec.n_lanes):
+        bits = 2 * k - 32 * j          # payload bits left for this lane
+        if bits <= 0:
+            lanes.append(jnp.zeros_like(w16))
+            continue
+        lane = kmer_ops._shift_left(w16, 16 * j)
+        if bits < 32:
+            lane = lane & jnp.uint32((1 << bits) - 1)
+        lanes.append(lane)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    valid = jnp.broadcast_to(idx <= L - k, ascii_u8.shape)
+    return tuple(lanes), valid
+
+
 def unpack_codes(spec: GenericSpec, lanes: Lanes) -> jnp.ndarray:
     """Lanes -> per-base codes [.., total_bases] (INCLUDING padding slots,
     the decode quirk)."""

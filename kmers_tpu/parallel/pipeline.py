@@ -515,6 +515,165 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
     return jax.jit(fn)
 
 
+# -- super-k-mer (minimizer-partitioned) counting ------------------------------
+#
+# THE point of minimizers in distributed k-mer counting (SURVEY.md §5.8;
+# reference rationale at seq_vector/minimizers.rs:20-36): consecutive
+# k-mers overwhelmingly share their minimizer, and every occurrence of a
+# given k-mer has the same minimizer, so routing by hash(minimizer) both
+# (a) keeps shards disjoint by k-mer key (the global table stays exact)
+# and (b) lets a RUN of r consecutive k-mers travel as ONE lane of packed
+# bases (r + k - 1 bases <= 2k - w) instead of r separate 8-byte words --
+# the mean run length is ~(k-w+2)/2, so wire bytes per k-mer drop ~4-6x
+# vs hash-prefix routing of individual k-mers.
+
+from ..ops import encoding as enc_ops        # noqa: E402
+
+
+def _superkmer_payload_words(k: int, w: int) -> int:
+    """uint32 words needed for a super-k-mer's packed bases: a minimizer
+    serves at most k-w+1 consecutive windows, spanning <= 2k-w bases."""
+    return -(-(2 * (2 * k - w)) // 32)
+
+
+def emit_superkmers(reads_local: jnp.ndarray, k: int, w: int, seed: int):
+    """Per-row super-k-mer extraction (static shapes, no control flow).
+
+    Returns (owner_words U64, start mask, planes, kmers_emitted) where
+    `planes` = nwords packed-base uint32 planes + one meta plane (the
+    window count c of the run, 1..k-w+1); all [B, L], one lane per
+    k-mer-window position, live only at run starts.  Runs are maximal
+    stretches of equal minimizer POSITION within a row (equal position
+    implies equal w-mer; a repeated w-mer at a different position starts
+    a new run, which is still correct -- both route to the same owner).
+    """
+    assert 1 <= w <= min(k, 31) and k <= 31
+    mm = mini_ops.minimizer_stream(reads_local, k, w,
+                                   hash_ops.mix_hash_fn(seed))
+    B, L = reads_local.shape
+    codes = enc_ops.ascii_to_codes(reads_local)
+    w16 = kmer_ops.pack_u32_words(codes)
+    col = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    pad1 = lambda x, fill: jnp.concatenate(
+        [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
+    prev_valid = pad1(mm.valid, False)
+    prev_pos = pad1(mm.pos, -1)
+    start = mm.valid & (~prev_valid | (prev_pos != mm.pos))
+    # next boundary (run start or invalid window) strictly after p --
+    # every run ends at the latest at window L-k (structurally invalid
+    # lanes follow), so ns_excl is always a true bound
+    m = jnp.where(start | ~mm.valid, col, L)
+    ns_incl = jax.lax.cummin(m, axis=1, reverse=True)
+    ns_excl = jnp.concatenate(
+        [ns_incl[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
+    c = jnp.where(start, ns_excl - col, 0)       # windows in this run
+    planes = tuple(kmer_ops._shift_left(w16, 16 * j)
+                   for j in range(_superkmer_payload_words(k, w)))
+    planes = planes + (c.astype(jnp.uint32),)
+    kmers = mm.valid.sum().astype(jnp.int32)
+    return mm.word, start, planes, kmers
+
+
+def expand_superkmers(planes, valid: jnp.ndarray, k: int, w: int):
+    """Receiver side: [N] super-k-mer lanes -> ([N, W] forward window
+    words, [N, W] validity), W = k-w+1.  All static shifts, no gathers."""
+    W = k - w + 1
+    pw, meta = planes[:-1], planes[-1]
+    zeros = jnp.zeros_like(pw[0])
+
+    def word_at(i):
+        return pw[i] if i < len(pw) else zeros
+
+    los, his = [], []
+    for j in range(W):
+        bit, off = (2 * j) // 32, (2 * j) % 32
+        if off:
+            lo = (word_at(bit) >> off) | (word_at(bit + 1) << (32 - off))
+            hi = (word_at(bit + 1) >> off) | (word_at(bit + 2) << (32 - off))
+        else:
+            lo = word_at(bit)
+            hi = word_at(bit + 1)
+        if 2 * k <= 32:
+            lo = lo & jnp.uint32((1 << (2 * k)) - 1) if 2 * k < 32 else lo
+            hi = jnp.zeros_like(lo)
+        elif 2 * k < 64:
+            hi = hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+        los.append(lo)
+        his.append(hi)
+    fw = U64(jnp.stack(his, axis=-1), jnp.stack(los, axis=-1))
+    wv = valid[..., None] & (jnp.arange(W, dtype=jnp.int32)[None, :]
+                             < meta.astype(jnp.int32)[..., None])
+    return fw, wv
+
+
+def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
+                           route_capacity: int, seed: int = 0,
+                           axis: str = "d", route_passes: int = 1,
+                           aggregate: str = "unit"):
+    """Sharded counting with super-k-mer (minimizer-partitioned) routing
+    (k <= 31): the `--partition minimizer` pipeline.
+
+    Produces the BIT-EXACT same global k-mer table as hash-prefix routing
+    (same key -> same minimizer -> same shard: shards stay disjoint),
+    while shipping packed base runs instead of per-k-mer words.  Metrics:
+      superkmers       routed lanes (run count)
+      route_bytes      wire bytes of the fixed send buffers
+      route_overflow   K-MERS dropped (meta-weighted, never silent)
+    Capacity note: destination load is in SUPER-K-MERS (~2n/(k-w+2) per
+    batch), so route_capacity can be ~5x smaller than per-k-mer routing
+    for the same input.
+    """
+    assert k <= 31
+    nwords = _superkmer_payload_words(k, w)
+    if aggregate == "unit":
+        table_spec = count_ops.UnitTable(keys=U64(P(axis), P(axis)))
+    else:
+        table_spec = CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
+                                n_unique=P(axis))
+    out_spec = CountResult(
+        table=table_spec,
+        metrics={m: P() for m in ("reads", "kmers_emitted",
+                                  "windows_skipped", "superkmers",
+                                  "route_overflow", "route_rerouted",
+                                  "route_bytes")},
+    )
+
+    def body(reads_local):
+        owner, start, planes, kmers = emit_superkmers(reads_local, k, w,
+                                                      seed)
+        routed = route_ops.route_payload(
+            owner, start, planes, axis, route_capacity, seed,
+            passes=route_passes, weight_plane=nwords)
+        fw, wv = expand_superkmers(routed.planes, routed.valid, k, w)
+        canon = kmer_ops.canonical_word(fw, kmer_ops.reverse_complement(
+            fw, k))
+        if aggregate == "unit":
+            table = count_ops.unit_table(canon, wv)
+        else:
+            table = count_ops.count_words(canon, wv, max_k=k)
+        n_win = reads_local.shape[-1] - k + 1
+        metrics = {
+            "reads": jax.lax.psum(jnp.int32(reads_local.shape[0]), axis),
+            "kmers_emitted": jax.lax.psum(kmers, axis),
+            "windows_skipped": jax.lax.psum(
+                jnp.int32(reads_local.shape[0] * n_win) - kmers, axis),
+            "superkmers": jax.lax.psum(
+                start.sum().astype(jnp.int32), axis),
+            # overflow in K-MERS (meta-weighted): comparable to the
+            # per-k-mer pipelines' counter
+            "route_overflow": jax.lax.psum(routed.overflow_weight, axis),
+            "route_rerouted": jax.lax.psum(routed.rerouted, axis),
+            "route_bytes": jax.lax.psum(
+                jnp.int32(routed.valid.size * (4 * (nwords + 1) + 1)),
+                axis),
+        }
+        return CountResult(table=jax.tree.map(lambda x: x[None], table),
+                           metrics=metrics)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=out_spec)
+    return jax.jit(fn)
+
+
 # -- distributed lookup service (query serving over shard tables) --------------
 
 def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,

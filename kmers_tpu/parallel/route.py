@@ -156,6 +156,76 @@ def route(words: U64, valid: jnp.ndarray, axis_name: str,
     )
 
 
+class RoutedPlanes(NamedTuple):
+    """Result of payload routing: uint32 planes on their owning shard."""
+
+    planes: tuple          # each [passes * D * capacity] uint32
+    valid: jnp.ndarray
+    overflow: jnp.ndarray
+    rerouted: jnp.ndarray
+    overflow_weight: jnp.ndarray   # sum of the weight plane over dropped
+    #                                lanes (0 when weight_plane is None)
+
+
+def route_payload(owner_words: U64, valid: jnp.ndarray, planes,
+                  axis_name: str, capacity: int, seed: int = 0,
+                  passes: int = 1, weight_plane=None) -> RoutedPlanes:
+    """Route arbitrary uint32 payload planes to the shard owning
+    ``hash(owner_words)`` -- the owner KEY itself is not shipped.
+
+    This is the super-k-mer transport (SURVEY.md §5.8, minimizers.rs
+    20-36 rationale): k-mers sharing a minimizer route together as one
+    packed-bases lane, so the per-k-mer wire cost drops by the mean run
+    length.  Same fixed-capacity + multi-pass overflow design as
+    ``route``.  weight_plane (an index into `planes`) makes the overflow
+    accounting weight-aware: overflow_weight sums that plane over dropped
+    lanes (e.g. the k-mers-per-super-k-mer meta plane, so droppage is
+    reported in K-MERS, not opaque super-k-mer lanes)."""
+    d = jax.lax.axis_size(axis_name)
+    flat_owner = U64(owner_words.hi.reshape(-1), owner_words.lo.reshape(-1))
+    v = valid.reshape(-1)
+    owner = jnp.where(v, owner_of(flat_owner, d, seed), d).astype(jnp.int32)
+    flat_planes = tuple(p.reshape(-1) for p in planes)
+    out = jax.lax.sort((owner,) + flat_planes, num_keys=1, is_stable=True)
+    o, sorted_planes = out[0], out[1:]
+    counts = _owner_histogram(o, d)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
+    n = o.shape[-1]
+    if weight_plane is None:
+        overflow_weight = jnp.int32(0)
+    else:
+        o_c = jnp.clip(o, 0, d - 1)
+        rank = jnp.arange(n, dtype=jnp.int32) - starts[o_c]
+        dropped = (o < d) & (rank >= passes * capacity)
+        overflow_weight = jnp.where(
+            dropped, sorted_planes[weight_plane].astype(jnp.int32),
+            0).sum().astype(jnp.int32)
+    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    recv = [[] for _ in sorted_planes]
+    recv_valid = []
+    for p in range(passes):
+        off = p * capacity
+        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)
+        in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
+        for i, arr in enumerate(sorted_planes):
+            recv[i].append(a2a(arr[src]))
+        recv_valid.append(a2a(in_bucket))
+    overflow = jnp.maximum(counts - passes * capacity,
+                           0).sum().astype(jnp.int32)
+    rerouted = jnp.clip(counts - capacity, 0,
+                        (passes - 1) * capacity).sum().astype(jnp.int32)
+    cat = lambda parts: jnp.concatenate([r.reshape(-1) for r in parts])
+    return RoutedPlanes(
+        planes=tuple(cat(r) for r in recv),
+        valid=cat(recv_valid),
+        overflow=overflow,
+        rerouted=rerouted,
+        overflow_weight=overflow_weight,
+    )
+
+
 # -- multi-word (k <= 64) routing ---------------------------------------------
 
 from ..core import u128 as u128mod          # noqa: E402

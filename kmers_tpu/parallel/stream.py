@@ -372,29 +372,47 @@ class ShardedStreamingCounter(StreamingCounter):
     def __init__(self, k: int, capacity: int, merge_every: int = 16,
                  mesh=None, n_devices: Optional[int] = None,
                  route_capacity: int = 4096, route_passes: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, partition: str = "hash",
+                 minimizer_w: int = 11):
         from . import mesh as mesh_ops
         from . import pipeline as pl
 
         super().__init__(k, capacity, merge_every)
+        assert partition in ("hash", "minimizer")
+        if partition == "minimizer" and k > 31:
+            raise ValueError("minimizer partitioning needs k <= 31")
         self.mesh = mesh if mesh is not None else mesh_ops.make_mesh(
             n_devices)
         self.n_devices = self.mesh.shape["d"]
         self.route_capacity = route_capacity
         self.route_passes = route_passes
+        self.partition = partition
         self.route_overflow = 0
         self.route_rerouted = 0
+        self.route_superkmers = 0
         self._pending_overflow = []
         self._sharding = mesh_ops.batch_sharding(self.mesh)
-        mk = (pl.make_sharded_counter_wide if self.wide
-              else pl.make_sharded_counter)
-        self._scount = mk(self.mesh, k, route_capacity=route_capacity,
-                          route_passes=route_passes, seed=seed,
-                          aggregate=self._aggregate)
-        self._scount_packed = mk(self.mesh, k,
-                                 route_capacity=route_capacity,
-                                 route_passes=route_passes, seed=seed,
-                                 packed=True, aggregate=self._aggregate)
+        if partition == "minimizer":
+            # super-k-mer transport: k-mers sharing a minimizer travel as
+            # one packed-bases lane (~4-6x fewer wire bytes per k-mer);
+            # global table identical to hash partitioning (same k-mer ->
+            # same minimizer -> same shard)
+            self._scount = pl.make_superkmer_counter(
+                self.mesh, k, minimizer_w, route_capacity=route_capacity,
+                route_passes=route_passes, seed=seed,
+                aggregate=self._aggregate)
+            self._scount_packed = None    # ASCII ingest only (see CLI)
+        else:
+            mk = (pl.make_sharded_counter_wide if self.wide
+                  else pl.make_sharded_counter)
+            self._scount = mk(self.mesh, k, route_capacity=route_capacity,
+                              route_passes=route_passes, seed=seed,
+                              aggregate=self._aggregate)
+            self._scount_packed = mk(self.mesh, k,
+                                     route_capacity=route_capacity,
+                                     route_passes=route_passes, seed=seed,
+                                     packed=True,
+                                     aggregate=self._aggregate)
         # multi-host: host-side reads (to_pairs/save) need the merged table
         # fully replicated; this jit inserts the all_gather
         self._replicate = jax.jit(lambda t: t,
@@ -425,13 +443,19 @@ class ShardedStreamingCounter(StreamingCounter):
         self._absorb_sharded(self._scount(self._put(arr)))
 
     def update_packed(self, words, validbits) -> None:
+        if self._scount_packed is None:
+            raise NotImplementedError(
+                "minimizer partitioning counts from ASCII batches "
+                "(use update / --ascii-ingest)")
         w = self._pad_rows(np.asarray(words), 0)
         v = self._pad_rows(np.asarray(validbits), 0)
         self._absorb_sharded(self._scount_packed(self._put(w), self._put(v)))
 
     def _absorb_sharded(self, res) -> None:
+        # traced scalars only -- fetching here would sync every batch
         self._pending_overflow.append(
-            (res.metrics["route_overflow"], res.metrics["route_rerouted"]))
+            (res.metrics["route_overflow"], res.metrics["route_rerouted"],
+             res.metrics.get("superkmers")))
         self._absorb(res)
 
     def discard_pending(self) -> None:
@@ -444,9 +468,11 @@ class ShardedStreamingCounter(StreamingCounter):
         # overflow counters commit only after the merge succeeded (the base
         # class raised otherwise), mirroring the kmer-mass rule: a faulted
         # merge leaves them consistent with discard_pending's rewind
-        for ov, rr in self._pending_overflow:
+        for ov, rr, sk in self._pending_overflow:
             self.route_overflow += int(ov)
             self.route_rerouted += int(rr)
+            if sk is not None:
+                self.route_superkmers += int(sk)
         self._pending_overflow = []
         if had_pending and jax.process_count() > 1:
             self.table = self._replicate(self.table)
@@ -457,7 +483,8 @@ def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
                 counter: Optional[StreamingCounter] = None,
                 packed: bool = True, prefetch_depth: int = 512,
                 devices: int = 1, route_capacity: int = 4096,
-                route_passes: int = 1) -> StreamingCounter:
+                route_passes: int = 1, partition: str = "hash",
+                minimizer_w: int = 11) -> StreamingCounter:
     """Count every k-mer of a FASTA/FASTQ file (native ingest, halo-chunked
     long records).  Pass `counter` to resume from a checkpoint.
 
@@ -476,9 +503,13 @@ def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
     elif devices > 1:
         sc = ShardedStreamingCounter(k, capacity, n_devices=devices,
                                      route_capacity=route_capacity,
-                                     route_passes=route_passes)
+                                     route_passes=route_passes,
+                                     partition=partition,
+                                     minimizer_w=minimizer_w)
     else:
         sc = StreamingCounter(k, capacity)
+    if getattr(sc, "partition", "hash") == "minimizer":
+        packed = False    # super-k-mer emission starts from ASCII rows
     if packed and length % 32 == 0:
         it = fastx.read_packed_batches(path, k=k, batch=batch, length=length)
         for words, validbits in fastx.prefetch(it, depth=prefetch_depth):

@@ -1,0 +1,120 @@
+"""Super-k-mer (minimizer-partitioned) distributed counting (VERDICT r3
+item 6): emission/expansion invariants and the property that matters --
+the minimizer-routed global table is BIT-EXACT vs single-device counting,
+while shipping runs of packed bases instead of per-k-mer words."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmers_tpu.parallel import count as count_ops
+from kmers_tpu.parallel import mesh as mesh_ops
+from kmers_tpu.parallel import pipeline
+
+RNG = np.random.default_rng(1312)
+
+
+def genome_reads(n_reads, L, n_rate=0.02, seed=3):
+    rng = np.random.default_rng(seed)
+    genome = rng.choice(list("ACGT"), size=2000, p=[.4, .3, .2, .1])
+    reads = ["".join(genome[s:s + L])
+             for s in rng.integers(0, 2000 - L, size=n_reads)]
+    rows = np.frombuffer("".join(reads).encode(),
+                         dtype=np.uint8).reshape(n_reads, L).copy()
+    rows[rng.random(rows.shape) < n_rate] = ord("N")
+    return rows
+
+
+def test_emit_expand_roundtrip_single_host():
+    """Expanding the emitted super-k-mers reproduces exactly the k-mer
+    multiset of the windows (order aside), including runs cut by Ns."""
+    k, w = 21, 7
+    rows = genome_reads(16, 64, n_rate=0.05)
+    owner, start, planes, kmers = pipeline.emit_superkmers(
+        jnp.asarray(rows), k, w, seed=0)
+    # treat every lane as "received" with validity = start
+    flat_planes = tuple(p.reshape(-1) for p in planes)
+    fw, wv = pipeline.expand_superkmers(flat_planes,
+                                        np.asarray(start).reshape(-1), k, w)
+    from kmers_tpu.ops import kmer as kmer_ops
+    canon = kmer_ops.canonical_word(fw, kmer_ops.reverse_complement(fw, k))
+    got = count_ops.count_words(canon, wv, max_k=k, compact=True)
+    want_res = pipeline.count_reads(jnp.asarray(rows), k,
+                                    aggregate="compact")
+    want = want_res.table
+    nu = int(want.n_unique)
+    assert int(got.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(got.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(got.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(got.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+    assert int(kmers) == int(np.asarray(want.counts).sum())
+    # compression: mean run length > 2 on genomic data
+    n_sk = int(np.asarray(start).sum())
+    assert int(kmers) / n_sk > 2.0
+
+
+@pytest.mark.parametrize("aggregate", ["unit", "compact"])
+def test_superkmer_mesh_table_bit_exact(aggregate):
+    k, w = 21, 7
+    rows = genome_reads(64, 64)
+    m = mesh_ops.make_mesh(8)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=512,
+                                          route_passes=2,
+                                          aggregate=aggregate)
+    res = cnt(jax.device_put(jnp.asarray(rows), mesh_ops.batch_sharding(m)))
+    assert int(res.metrics["route_overflow"]) == 0
+    g = pipeline.global_table(res)
+    want = pipeline.count_reads(jnp.asarray(rows), k,
+                                aggregate="compact").table
+    nu = int(want.n_unique)
+    assert int(g.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(g.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+    # the wire win vs per-k-mer routing: fewer routed lanes than k-mers
+    assert (int(res.metrics["superkmers"])
+            < int(res.metrics["kmers_emitted"]) / 2)
+
+
+def test_superkmer_overflow_counted_in_kmers():
+    """Dropped super-k-mers are accounted meta-weighted: the global table
+    mass + route_overflow (in K-MERS) always equals kmers_emitted."""
+    k, w = 21, 7
+    rows = genome_reads(64, 64)
+    m = mesh_ops.make_mesh(8)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=8,
+                                          route_passes=1)
+    res = cnt(jax.device_put(jnp.asarray(rows), mesh_ops.batch_sharding(m)))
+    assert int(res.metrics["route_overflow"]) > 0
+    g = pipeline.global_table(res)
+    mass = int(np.asarray(g.counts).sum())
+    assert mass + int(res.metrics["route_overflow"]) == int(
+        res.metrics["kmers_emitted"])
+
+
+def test_sharded_streaming_counter_minimizer_partition():
+    from kmers_tpu.parallel.stream import (ShardedStreamingCounter,
+                                           StreamingCounter)
+
+    k = 21
+    rows = genome_reads(96, 64)
+    flat = StreamingCounter(k, capacity=1 << 13, merge_every=2)
+    sh = ShardedStreamingCounter(k, capacity=1 << 13, merge_every=2,
+                                 n_devices=8, route_capacity=512,
+                                 route_passes=2, partition="minimizer",
+                                 minimizer_w=7)
+    for i in range(0, 96, 32):
+        flat.update(jnp.asarray(rows[i:i + 32]))
+        sh.update(jnp.asarray(rows[i:i + 32]))
+    assert sh.route_overflow == 0
+    assert dict(sh.to_pairs()) == dict(flat.to_pairs())
+    assert sh.route_superkmers > 0
+    with pytest.raises(NotImplementedError):
+        sh.update_packed(None, None)
