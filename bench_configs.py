@@ -57,8 +57,12 @@ def main():
         h = u.mix_hash(win.fw)
         return benchlib.ascii_from_codes(h.lo)
 
+    # k15 is so fast (~12 us/iter) that the default 256-iteration delta
+    # is within relay RTT jitter -- a 2026-08 run measured a physically
+    # impossible 1.8 T kmers/s that way.  Stretch the chain so the delta
+    # is ~25 ms of pure device time.
     rate = benchlib.chain_rate(cfg1, first_reads(B1, L1, 1),
-                               B1 * (L1 - 15 + 1))
+                               B1 * (L1 - 15 + 1), s_short=8, s_long=2056)
     emit("k15_encode_hash_150bp", rate, "kmers/s")
 
     # config 2: k=31 canonical over 1M reads (streamed in batches)
