@@ -115,7 +115,8 @@ def main():
     rate = benchlib.chain_rate(cfg4, first_reads(B4, L4, 4),
                                B4 * (L4 - 31 + 1))
     emit("minimizers_k31_w11", rate, "kmers/s",
-         "8-chip data-parallel path: tests/test_halo.py on CPU mesh")
+         "mix32 selection order (the default); 8-chip data-parallel "
+         "path: tests/test_halo.py on CPU mesh")
 
     # config 5: full counting pipeline (windows+canonical+sort+count),
     # E. coli-scale stream = many such batches; multi-host all_to_all path
@@ -363,10 +364,11 @@ def minimizer_ablation():
     reads0 = first_reads(B, L, 13)
     n = B * (L - K + 1)
 
-    def arm(stage):
+    def arm(stage, order="mix64"):
         def fn(reads):
             wh, wl, pos, _v = kmini.minimizer_kernel(reads, K, W_,
-                                                     stage=stage)
+                                                     stage=stage,
+                                                     order=order)
             return benchlib.ascii_from_codes(
                 wl ^ wh ^ pos.astype(jnp.uint32))
         return fn
@@ -378,6 +380,12 @@ def minimizer_ablation():
              f"model: ~19 B/lane, ~{ops} VPU ops/lane")
     emit("minimizer_hash_over_full", rates["hash"] / rates["full"], "x",
          "VPU-bound predicts ~2.9, HBM-bound predicts 1.0")
+    # mix32 selection order: one hash plane in the (VPU-bound) scan
+    r32 = benchlib.chain_rate(arm("full", order="mix32"), reads0, n)
+    emit("minimizer_full_mix32_k31_w11", r32, "kmers/s",
+         "32-bit selection order (core.u64.mix32_order): half the scan's "
+         "compare planes; bit-exact vs the jnp mix32 path "
+         "(tests/test_kernels.py)")
 
 
 def streaming_sustained():
@@ -462,6 +470,25 @@ def streaming_sustained():
         emit(f"stream_sustained_{name}", sustained, "kmers/s",
              f"per-batch {t_batch*1e3:.3f} ms + merge {sec*1e3:.1f} ms / "
              f"merge_every {ME}")
+
+    # the CLI's default ingest: PACKED batches through the XLA-fused jnp
+    # unit path (no Pallas kernel takes packed input yet)
+    from kmers_tpu.io.fastx import pack_batch_np
+    from kmers_tpu.parallel.pipeline import count_reads_packed
+
+    w0, v0 = pack_batch_np(np.asarray(first_reads(B5, L5, 5)))
+    wv0 = (jnp.asarray(w0), jnp.asarray(v0))
+
+    def cfg5p(carry):
+        words, validbits = carry
+        res = count_reads_packed(words, validbits, 31, aggregate="unit")
+        s = (jnp.sum(res.table.keys.lo) ^ jnp.sum(res.table.keys.hi))
+        return (words ^ (s & jnp.uint32(3)), validbits)
+
+    t_packed = benchlib.chain_seconds_per_iter(cfg5p, wv0)
+    emit("count_pipeline_k31_unit_packed", kmers_per_batch / t_packed,
+         "kmers/s", "packed-ingest unit emission (jnp path, the CLI "
+         "default); ASCII Pallas path is count_pipeline_k31_unit")
 
 
 if __name__ == "__main__":

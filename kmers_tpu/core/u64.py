@@ -238,3 +238,17 @@ def mix_hash(a: U64, seed: int = 0) -> U64:
     out_lo = _mix32(a.lo ^ _mix32(a.hi ^ s_lo))
     out_hi = _mix32(a.hi ^ _mix32(a.lo ^ s_hi ^ u32(0x9E3779B9)))
     return U64(out_hi, out_lo)
+
+
+def mix32_order(a: U64, seed: int = 0) -> U64:
+    """32-bit total order for minimizer SELECTION: exactly the low half of
+    mix_hash, hi = 0.  A minimizer scheme only needs a fixed order on
+    w-mers (the reference takes any BuildHasher, kmer.rs:170-192); for
+    w <= 16 this is a bijection of the w-mer word (mix32 composes
+    invertible xor-shifts and odd multiplies), and for w > 16 the
+    leftmost-tie rule resolves the rare collisions.  Halves the compare
+    planes in the minimizer window scan (the measured VPU bottleneck,
+    BASELINE.md round 4)."""
+    s_lo = u32(seed & U32_MASK)
+    return U64(jnp.zeros_like(a.lo),
+               _mix32(a.lo ^ _mix32(a.hi ^ s_lo)))

@@ -74,7 +74,7 @@ def _roll_right(a: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
                       *, k: int, w: int, seed: int, use_lex: bool,
-                      stage: str = "full"):
+                      stage: str = "full", order: str = "mix64"):
     ascii_u8 = reads_ref[:]
     BB, L = ascii_u8.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
@@ -131,6 +131,12 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         else:
             h_lo = rh >> (sh - 32)
             h_hi = jnp.zeros_like(rh)
+    elif order == "mix32":
+        # 32-bit selection order (core.u64.mix32_order): hi is
+        # structurally zero, which halves the scan's compare planes
+        s_lo = jnp.uint32(seed & 0xFFFFFFFF)
+        h_lo = mix32(wm_lo ^ mix32(wm_hi ^ s_lo))
+        h_hi = jnp.zeros_like(h_lo)
     else:
         s_lo = jnp.uint32(seed & 0xFFFFFFFF)
         s_hi = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
@@ -138,9 +144,12 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         h_hi = mix32(wm_hi ^ mix32(wm_lo ^ s_hi ^ jnp.uint32(0x9E3779B9)))
 
     # sliding leftmost argmin over offsets 0..k-w; compare key is the
-    # 64-bit hash only -- leftmost ties fall out of the pull direction
+    # hash only -- leftmost ties fall out of the pull direction.  When
+    # h_hi is structurally zero (mix32 order; LexHasher with w <= 16) it
+    # drops out of both the compare and the carry.
     W = k - w + 1
     pos0 = iota
+    hi_zero = order == "mix32" or (use_lex and w <= 16)
 
     if stage == "hash":
         # ablation arm: stop before the vHGW scan (same outputs shape,
@@ -158,17 +167,25 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         valid_ref[:] = v.astype(jnp.uint8)
         return
 
-    def less(a, b):        # a < b on (h_hi, h_lo)
-        return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+    if hi_zero:
+        def less(a, b):        # a < b on h_lo alone
+            return a[0] < b[0]
 
-    def less_eq(a, b):     # a <= b on (h_hi, h_lo)
-        return (a[0] < b[0]) | ((a[0] == b[0]) & ~(b[1] < a[1]))
+        def less_eq(a, b):
+            return ~(b[0] < a[0])
+    else:
+        def less(a, b):        # a < b on (h_hi, h_lo)
+            return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+        def less_eq(a, b):     # a <= b on (h_hi, h_lo)
+            return (a[0] < b[0]) | ((a[0] == b[0]) & ~(b[1] < a[1]))
 
     # carried tuple: compare planes first, then payload planes
+    hashes = (h_lo,) if hi_zero else (h_hi, h_lo)
     if narrow:
-        init = (h_hi, h_lo, pos0, wm_lo)
+        init = hashes + (pos0, wm_lo)
     else:
-        init = (h_hi, h_lo, pos0, wm_lo, wm_hi)
+        init = hashes + (pos0, wm_lo, wm_hi)
 
     def pick(take, cand, cur):
         return tuple(jnp.where(take, c, x) for c, x in zip(cand, cur))
@@ -208,10 +225,10 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         best = pick(less(Rw, S), Rw, S)
 
     if narrow:
-        best_h_hi, best_h_lo, best_pos, best_w_lo = best
+        *_, best_pos, best_w_lo = best
         best_w_hi = jnp.zeros_like(best_w_lo)
     else:
-        best_h_hi, best_h_lo, best_pos, best_w_lo, best_w_hi = best
+        *_, best_pos, best_w_lo, best_w_hi = best
 
     # k-window validity (unmasked rolls; structural bound masks the tail)
     v = valid
@@ -230,18 +247,24 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "seed", "use_lex",
                                              "block_rows", "interpret",
-                                             "stage"))
+                                             "stage", "order"))
 def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
                      use_lex: bool = False, block_rows: int = 64,
-                     interpret: bool = False, stage: str = "full"):
+                     interpret: bool = False, stage: str = "full",
+                     order: str = "mix32"):
     """Per-k-mer minimizers over [B, L] uint8 reads.
 
     Returns (word_hi, word_lo, pos, valid_u8), all [B, L]: entry p is the
     minimizer of the k-mer starting at p (absolute w-mer position in pos).
     At valid lanes, element-wise identical to
-    ops.minimizer.minimizer_stream and therefore to the reference deque
-    (minimizers.rs:60-142 incl. the leftmost-tie rule); invalid lanes are
-    unspecified.
+    ops.minimizer.minimizer_stream under the matching hash
+    (order="mix32" <-> hash.mix32_hash_fn, "mix64" <-> mix_hash_fn,
+    use_lex <-> lex_hash_fn) and therefore to the reference deque
+    (minimizers.rs:60-142 incl. the leftmost-tie rule); invalid lanes
+    are unspecified.  The default selection order is mix32
+    (core.u64.mix32_order): a minimizer scheme needs only a fixed total
+    order on w-mers, and one compare plane makes the VPU-bound window
+    scan ~1.5x faster (13.1 vs 8.6 G kmers/s measured, BASELINE.md).
     """
     assert 1 <= w <= min(k, 32) and k <= reads.shape[-1]
     B, L = reads.shape
@@ -255,9 +278,10 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     # O(log W) roll passes -- ~10 u32 blocks of VMEM regardless of W;
     # keep blocks small and the scoped-vmem cap raised
     assert stage in ("full", "hash")
+    assert order in ("mix64", "mix32")
     return pl.pallas_call(
         functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
-                          use_lex=use_lex, stage=stage),
+                          use_lex=use_lex, stage=stage, order=order),
         grid=(B // bb,),
         in_specs=[spec],
         out_specs=(spec, spec, spec, spec),

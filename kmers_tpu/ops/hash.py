@@ -36,3 +36,9 @@ def lex_hash_fn(k: int) -> Callable[[U64], U64]:
 
 def mix_hash_fn(seed: int = 0) -> Callable[[U64], U64]:
     return lambda w: u.mix_hash(w, seed)
+
+
+def mix32_hash_fn(seed: int = 0) -> Callable[[U64], U64]:
+    """32-bit minimizer-selection order (hi = 0): see core.u64.mix32_order.
+    The fast compare key for the minimizer kernel's window scan."""
+    return lambda w: u.mix32_order(w, seed)

@@ -194,17 +194,39 @@ def _counts_from_positions(pos: jnp.ndarray, idx: jnp.ndarray,
     return jnp.where(live, nxt - pos, 0)
 
 
-def count_sorted(words: U64, valid: jnp.ndarray) -> CountTable:
-    """Count runs of equal (already sorted) words; invalid lanes ignored."""
+def _compact_starts(s: U64, starts: jnp.ndarray, payload: jnp.ndarray,
+                    spare_hi_bit: bool):
+    """Stable-compact run-start lanes to the front of a key-sorted array,
+    carrying `payload`.  Returns (k_hi, k_lo, payload) compacted.
+
+    spare_hi_bit=True (k <= 31 keys, flag-stripped): the not-start flag
+    folds into bit 31 of hi -- 3 sort operands instead of 4.  Sorting by
+    the folded (hi, lo) equals a stable sort by not_start alone here:
+    run starts are unique per key and already in key order, so ordering
+    starts by key is the same permutation, and non-start lane order is
+    irrelevant (their payload is discarded past n_unique)."""
+    not_start = (~starts).astype(jnp.uint32)
+    if spare_hi_bit:
+        f_hi, k_lo, pay = jax.lax.sort(
+            (s.hi | (not_start << 31), s.lo, payload),
+            num_keys=2, is_stable=True)
+        return f_hi & jnp.uint32(0x7FFFFFFF), k_lo, pay
+    _, k_hi, k_lo, pay = jax.lax.sort(
+        (not_start, s.hi, s.lo, payload), num_keys=1, is_stable=True)
+    return k_hi, k_lo, pay
+
+
+def count_sorted(words: U64, valid: jnp.ndarray,
+                 spare_hi_bit: bool = False) -> CountTable:
+    """Count runs of equal (already sorted) words; invalid lanes ignored.
+    spare_hi_bit: see _compact_starts (requires k <= 31 keys)."""
     n = words.lo.shape[-1]
     starts, idx = _run_starts(words, valid)
     n_unique = starts.sum(dtype=jnp.int32)
     n_valid = valid.sum(dtype=jnp.int32)
     # stable-compact run-start lanes (with their positions) to the front;
     # stability preserves key order, so the table invariant holds
-    not_start = (~starts).astype(jnp.uint32)
-    _, k_hi, k_lo, pos = jax.lax.sort(
-        (not_start, words.hi, words.lo, idx), num_keys=1, is_stable=True)
+    k_hi, k_lo, pos = _compact_starts(words, starts, idx, spare_hi_bit)
     live = idx < n_unique
     counts = _counts_from_positions(pos, idx, n_unique, n_valid)
     keys = U64(jnp.where(live, k_hi, 0), jnp.where(live, k_lo, 0))
@@ -259,7 +281,8 @@ def count_words(words: U64, valid: jnp.ndarray,
     s, v, _ = sort_by_word(flat, valid.reshape(-1),
                            spare_hi_bit=max_k is not None and max_k <= 31)
     if compact:
-        return count_sorted(s, v)
+        return count_sorted(s, v,
+                            spare_hi_bit=max_k is not None and max_k <= 31)
     return count_sorted_runs(s, v)
 
 
@@ -339,9 +362,9 @@ def count_weighted(words: U64, valid: jnp.ndarray, weights: jnp.ndarray,
     mw = jnp.where(v, w, 0).astype(jnp.uint32)
     csum = jnp.cumsum(mw)
     csum_excl = csum - mw
-    not_start = (~starts).astype(jnp.uint32)
-    _, k_hi, k_lo, p_excl = jax.lax.sort(
-        (not_start, s.hi, s.lo, csum_excl), num_keys=1, is_stable=True)
+    k_hi, k_lo, p_excl = _compact_starts(
+        s, starts, csum_excl,
+        spare_hi_bit=max_k is not None and max_k <= 31)
     live = idx < n_unique
     counts = _counts_from_positions(p_excl, idx, n_unique,
                                     csum[-1]).astype(jnp.int32)
@@ -526,13 +549,24 @@ def _run_starts_wide(s: U128, sv: jnp.ndarray):
 
 def _compact_wide(s: U128, starts: jnp.ndarray, idx: jnp.ndarray,
                   n_unique: jnp.ndarray, pos_payload: jnp.ndarray,
-                  last_total: jnp.ndarray) -> CountTableWide:
+                  last_total: jnp.ndarray,
+                  spare_hi_bit: bool = False) -> CountTableWide:
     """Stable-compact run-start lanes to the front, derive counts from
-    consecutive compacted position payloads (shared by plain/weighted)."""
+    consecutive compacted position payloads (shared by plain/weighted).
+    spare_hi_bit (k <= 63 keys): fold not_start into bit 31 of hi.hi --
+    5 sort operands instead of 6 (see _compact_starts for the argument
+    why sorting starts by key equals the stable not_start compaction)."""
     not_start = (~starts).astype(jnp.uint32)
-    _, khh, khl, klh, kll, pos = jax.lax.sort(
-        (not_start, s.hi.hi, s.hi.lo, s.lo.hi, s.lo.lo, pos_payload),
-        num_keys=1, is_stable=True)
+    if spare_hi_bit:
+        fhh, khl, klh, kll, pos = jax.lax.sort(
+            (s.hi.hi | (not_start << 31), s.hi.lo, s.lo.hi, s.lo.lo,
+             pos_payload),
+            num_keys=4, is_stable=True)
+        khh = fhh & jnp.uint32(0x7FFFFFFF)
+    else:
+        _, khh, khl, klh, kll, pos = jax.lax.sort(
+            (not_start, s.hi.hi, s.hi.lo, s.lo.hi, s.lo.lo, pos_payload),
+            num_keys=1, is_stable=True)
     live = idx < n_unique
     counts = _counts_from_positions(pos, idx, n_unique,
                                     last_total).astype(jnp.int32)
@@ -599,7 +633,8 @@ def count_words_wide(words: U128, valid: jnp.ndarray,
     n_unique = starts.sum(dtype=jnp.int32)
     n_valid = sv.sum(dtype=jnp.int32)
     if compact:
-        return _compact_wide(s, starts, idx, n_unique, idx, n_valid)
+        return _compact_wide(s, starts, idx, n_unique, idx, n_valid,
+                             spare_hi_bit=max_k is not None and max_k <= 63)
     n = sv.shape[-1]
     s_pos = jnp.where(starts, idx, n)
     ns_incl = jax.lax.cummin(s_pos, axis=0, reverse=True)
@@ -622,7 +657,8 @@ def count_weighted_wide(words: U128, valid: jnp.ndarray,
     n_unique = starts.sum(dtype=jnp.int32)
     mw = jnp.where(sv, w, 0).astype(jnp.uint32)
     csum = jnp.cumsum(mw)
-    return _compact_wide(s, starts, idx, n_unique, csum - mw, csum[-1])
+    return _compact_wide(s, starts, idx, n_unique, csum - mw, csum[-1],
+                         spare_hi_bit=max_k is not None and max_k <= 63)
 
 
 def _table_parts_wide(t):

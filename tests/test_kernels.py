@@ -89,19 +89,29 @@ from kmers_tpu.ops import hash as hash_ops
 from kmers_tpu.ops import minimizer as mini_ops
 
 
-@pytest.mark.parametrize("use_lex", [False, True])
+@pytest.mark.parametrize("use_lex,order", [(False, "mix64"),
+                                           (False, "mix32"),
+                                           (True, "mix64")])
 @pytest.mark.parametrize("k,w", [
     (11, 11),   # W=1 (w == k edge)
     (16, 11),   # W=6: largest direct-scan branch
     (17, 11),   # W=7: smallest vHGW branch (boundary)
     (31, 11),   # W=21: vHGW steady state
+    (31, 19),   # w > 16: mix32 order with a 5-plane carry
 ])
-def test_minimizer_kernel_matches_jnp(use_lex, k, w):
+def test_minimizer_kernel_matches_jnp(use_lex, order, k, w):
+    if w > k:
+        pytest.skip("w > k")
     B, L = 8, 256
     reads = make_reads(B, L)
     got = kmini.minimizer_kernel(reads, k, w, seed=5, use_lex=use_lex,
-                                 block_rows=8, interpret=True)
-    hash_fn = hash_ops.lex_hash_fn(w) if use_lex else hash_ops.mix_hash_fn(5)
+                                 block_rows=8, interpret=True, order=order)
+    if use_lex:
+        hash_fn = hash_ops.lex_hash_fn(w)
+    elif order == "mix32":
+        hash_fn = hash_ops.mix32_hash_fn(5)
+    else:
+        hash_fn = hash_ops.mix_hash_fn(5)
     want = mini_ops.minimizer_stream(reads, k, w, hash_fn)
     valid = np.asarray(want.valid)
     gv = np.asarray(got[3]).astype(bool)

@@ -99,7 +99,8 @@ def test_minimizer_kernel_compiled():
     reads = rand_reads(64, 160)
     wh, wl, pos, v8 = (np.asarray(x) for x in
                        kmini.minimizer_kernel(reads, k, w))
-    mm = mini_ops.minimizer_stream(reads, k, w, hash_ops.mix_hash_fn(0))
+    mm = mini_ops.minimizer_stream(reads, k, w,
+                               hash_ops.mix32_hash_fn(0))
     valid = np.asarray(mm.valid)
     np.testing.assert_array_equal(v8.astype(bool), valid)
     np.testing.assert_array_equal(wh[valid], np.asarray(mm.word.hi)[valid])
