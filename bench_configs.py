@@ -388,6 +388,40 @@ def minimizer_ablation():
          "(tests/test_kernels.py)")
 
 
+def superkmer_bench():
+    """Single-chip DEVICE cost of the two sharded-routing modes, k=31
+    w=11 (1-device mesh: the all_to_all is degenerate, so this isolates
+    emission + bucketing + [expansion] + unit-table wrap -- the compute
+    price paid for minimizer partitioning's 4.0x wire-byte win; the win
+    itself is a multi-chip property, measured as bytes in BASELINE.md)."""
+    from kmers_tpu.parallel import mesh as mesh_ops, pipeline
+
+    m = mesh_ops.make_mesh(1)
+    B, L = (256, 256) if QUICK else (2048, 256)
+    n = B * (L - 31 + 1)
+    sk = pipeline.make_superkmer_counter(m, 31, 11,
+                                         route_capacity=1 << 17,
+                                         aggregate="unit")
+    hashed = pipeline.make_sharded_counter(m, 31, route_capacity=1 << 20,
+                                           aggregate="unit")
+
+    def mk(counter):
+        def fn(reads):
+            res = counter(reads)
+            s = (jnp.sum(res.table.keys.lo) ^ jnp.sum(res.table.keys.hi)
+                 ) & jnp.uint32(3)
+            internal = (reads.astype(jnp.uint32) >> 1) & jnp.uint32(3)
+            code = internal ^ (internal >> 1)
+            return benchlib.ascii_from_codes(code + s)
+        return fn
+
+    reads0 = first_reads(B, L, 17)
+    for name, counter in (("superkmer", sk), ("hash", hashed)):
+        rate = benchlib.chain_rate(mk(counter), reads0, n)
+        emit(f"partition_{name}_device_cost_k31", rate, "kmers/s",
+             "emission+bucket+expand+unit wrap, 1-device mesh")
+
+
 def streaming_sustained():
     """The honest TOTAL device cost of streaming counting: per-batch unit
     emission is ~free (config 5u), so the cost center is the deferred
@@ -502,5 +536,7 @@ if __name__ == "__main__":
         streaming_sustained()
     elif "--minimizer" in sys.argv:
         minimizer_ablation()
+    elif "--superk" in sys.argv:
+        superkmer_bench()
     else:
         main()
