@@ -548,9 +548,29 @@ def emit_superkmers(reads_local: jnp.ndarray, k: int, w: int, seed: int):
     a new run, which is still correct -- both route to the same owner).
     """
     assert 1 <= w <= min(k, 31) and k <= 31
-    mm = mini_ops.minimizer_stream(reads_local, k, w,
-                                   hash_ops.mix_hash_fn(seed))
     B, L = reads_local.shape
+    # minimizer selection under the mix32 order (which w-mer wins changes
+    # run boundaries, never the counted table -- every occurrence of a
+    # k-mer still routes to one owner).  On TPU the gather-free Pallas
+    # kernel does the selection (the jnp path's winning-w-mer gather was
+    # the emission bottleneck: 27 -> 37.6 M kmers/s before this switch).
+    use_kernel = False
+    try:
+        use_kernel = (jax.default_backend() == "tpu"
+                      and B % min(64, B) == 0)
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        pass
+    if use_kernel:
+        from ..kernels import minimizer as kmini
+
+        wh, wl, mpos, v8 = kmini.minimizer_kernel(reads_local, k, w,
+                                                  seed=seed, order="mix32")
+        mm = mini_ops.MappedMinimizers(word=U64(wh, wl), pos=mpos,
+                                       valid=v8.astype(bool),
+                                       n_kmers=L - k + 1)
+    else:
+        mm = mini_ops.minimizer_stream(reads_local, k, w,
+                                       hash_ops.mix32_hash_fn(seed))
     codes = enc_ops.ascii_to_codes(reads_local)
     w16 = kmer_ops.pack_u32_words(codes)
     col = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
@@ -670,7 +690,10 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
         return CountResult(table=jax.tree.map(lambda x: x[None], table),
                            metrics=metrics)
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),), out_specs=out_spec)
+    # check_vma=False: the emission path runs a Pallas kernel on TPU, and
+    # pallas_call outputs carry no vma annotation for shard_map's checker
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis),),
+                   out_specs=out_spec, check_vma=False)
     return jax.jit(fn)
 
 

@@ -10,8 +10,10 @@ Ragged all_to_all is not expressible in XLA, so routing uses
   1. owner id per lane (invalid lanes -> dead owner D, sorts last);
   2. stable sort lanes by owner;
   3. per-owner counts (histogram) + exclusive prefix = bucket extents;
-  4. gather into a [D, capacity] send buffer (slack-sized; lanes beyond an
-     owner's capacity are *counted* as overflow, never silently dropped);
+  4. per-destination CONTIGUOUS dynamic slices into a [D, capacity] send
+     buffer (buckets are contiguous after the owner sort, so no gather --
+     see _bucket_slices; slack-sized, lanes beyond an owner's capacity are
+     *counted* as overflow, never silently dropped);
   5. ``jax.lax.all_to_all`` over "d" -> [D, capacity] received lanes, all
      owned by this shard.
 
@@ -22,8 +24,10 @@ whenever every per-destination bucket holds <= P*C lanes.  Lanes beyond
 P*C are dropped AND counted in ``overflow``; lanes delivered by passes
 >= 2 are counted in ``rerouted``.
 
-All steps are sort/gather/compare lane ops -- no scatter, no dynamic
-shapes.  Overflow counters come back with the result; callers must surface
+All steps are sort/slice/compare lane ops -- no scatter, no gather, no
+dynamic shapes (the round-3 send-buffer gather measured ~19x slower than
+the slice form on v5e: 29 -> 564 M kmers/s device cost for the whole
+hash-partition step, BASELINE.md round 4).  Overflow counters come back with the result; callers must surface
 them (metrics counters ``route_overflow`` / ``route_rerouted``).
 """
 
@@ -98,6 +102,34 @@ def bucket_sort(words: U64, valid: jnp.ndarray, n_shards: int,
     return U64(hi, lo), v, o, counts
 
 
+def _bucket_slices(arrs, starts: jnp.ndarray, capacity: int,
+                   max_offset: int):
+    """GATHER-FREE [D, capacity] send buffers: each destination's bucket
+    is a CONTIGUOUS range of the owner-sorted lanes, so a per-destination
+    ``dynamic_slice`` replaces the [D, C] gather the round-3 design used
+    -- TPU gathers of N lanes cost close to a scatter (~18 ms/M lanes
+    profiled) while a contiguous slice is pure bandwidth.  Arrays are
+    padded by max_offset + capacity zeros so no slice ever clamps (a
+    clamped start would shift real bucket lanes under the in_bucket
+    mask).
+
+    Returns a function slice_at(offset) -> list of [D, C] buffers (the
+    multi-pass re-route reuses the same padded arrays)."""
+    d = starts.shape[0]
+    padded = [jnp.concatenate(
+        [a, jnp.zeros(max_offset + capacity, a.dtype)]) for a in arrs]
+
+    def slice_at(offset: int):
+        outs = []
+        for a in padded:
+            rows = [jax.lax.dynamic_slice_in_dim(
+                a, starts[dd] + offset, capacity) for dd in range(d)]
+            outs.append(jnp.stack(rows))
+        return outs
+
+    return slice_at
+
+
 def build_send_buffer(words: U64, valid: jnp.ndarray, n_shards: int,
                       capacity: int, seed: int = 0, offset: int = 0):
     """[D, capacity] send buffer (bucket lanes [offset, offset+capacity))
@@ -105,12 +137,11 @@ def build_send_buffer(words: U64, valid: jnp.ndarray, n_shards: int,
     sw, sv, so, counts = bucket_sort(words, valid, n_shards, seed)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
-    n = sw.lo.shape[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
-    src = starts[:, None] + offset + j                         # [D, C]
     in_bucket = j < jnp.clip(counts - offset, 0, capacity)[:, None]
-    src_c = jnp.clip(src, 0, n - 1)
-    send = U64(sw.hi[src_c], sw.lo[src_c])
+    s_hi, s_lo = _bucket_slices((sw.hi, sw.lo), starts, capacity,
+                                offset)(offset)
+    send = U64(s_hi, s_lo)
     overflow = jnp.maximum(counts - offset - capacity,
                            0).sum().astype(jnp.int32)
     return send, in_bucket, overflow
@@ -132,16 +163,17 @@ def route(words: U64, valid: jnp.ndarray, axis_name: str,
     sw, sv, _so, counts = bucket_sort(flat, valid.reshape(-1), d, seed)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
-    n = sw.lo.shape[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    slice_at = _bucket_slices((sw.hi, sw.lo), starts, capacity,
+                              (passes - 1) * capacity)
     recv_hi, recv_lo, recv_valid = [], [], []
     for p in range(passes):
         off = p * capacity
-        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)    # [D, C]
+        s_hi, s_lo = slice_at(off)
         in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
-        recv_hi.append(a2a(sw.hi[src]))
-        recv_lo.append(a2a(sw.lo[src]))
+        recv_hi.append(a2a(s_hi))
+        recv_lo.append(a2a(s_lo))
         recv_valid.append(a2a(in_bucket))
     overflow = jnp.maximum(counts - passes * capacity,
                            0).sum().astype(jnp.int32)
@@ -203,14 +235,16 @@ def route_payload(owner_words: U64, valid: jnp.ndarray, planes,
             0).sum().astype(jnp.int32)
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    slice_at = _bucket_slices(sorted_planes, starts, capacity,
+                              (passes - 1) * capacity)
     recv = [[] for _ in sorted_planes]
     recv_valid = []
     for p in range(passes):
         off = p * capacity
-        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)
+        sliced = slice_at(off)
         in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
-        for i, arr in enumerate(sorted_planes):
-            recv[i].append(a2a(arr[src]))
+        for i, arr in enumerate(sliced):
+            recv[i].append(a2a(arr))
         recv_valid.append(a2a(in_bucket))
     overflow = jnp.maximum(counts - passes * capacity,
                            0).sum().astype(jnp.int32)
@@ -260,17 +294,18 @@ def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
     counts = _owner_histogram(o, d)
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
-    n = ll.shape[-1]
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+    slice_at = _bucket_slices((hh, hl, lh, ll), starts, capacity,
+                              (passes - 1) * capacity)
     recv = [[] for _ in range(4)]
     recv_valid = []
     for p in range(passes):
         off = p * capacity
-        src = jnp.clip(starts[:, None] + off + j, 0, n - 1)
+        sliced = slice_at(off)
         in_bucket = j < jnp.clip(counts - off, 0, capacity)[:, None]
-        for i, arr in enumerate((hh, hl, lh, ll)):
-            recv[i].append(a2a(arr[src]))
+        for i, arr in enumerate(sliced):
+            recv[i].append(a2a(arr))
         recv_valid.append(a2a(in_bucket))
     overflow = jnp.maximum(counts - passes * capacity,
                            0).sum().astype(jnp.int32)
@@ -310,13 +345,13 @@ def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    src = jnp.clip(starts[:, None] + j, 0, n - 1)          # [D, C]
     in_bucket = j < jnp.minimum(counts, capacity)[:, None]
     overflow = jnp.maximum(counts - capacity, 0).sum().astype(jnp.int32)
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
-    recv = U64(a2a(hi[src]), a2a(lo[src]))
+    s_hi, s_lo, send_orig = _bucket_slices((hi, lo, orig), starts,
+                                           capacity, 0)(0)
+    recv = U64(a2a(s_hi), a2a(s_lo))
     recv_valid = a2a(in_bucket)
-    send_orig = orig[src]                                   # [D, C] sender-side
 
     def reply(answers: jnp.ndarray) -> jnp.ndarray:
         """answers [D, C] int32 on the owner -> [n] at the original sender
