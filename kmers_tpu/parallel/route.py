@@ -93,13 +93,16 @@ def _mul_shift32(x: jnp.ndarray, d: int) -> jnp.ndarray:
 def bucket_sort(words: U64, valid: jnp.ndarray, n_shards: int,
                 seed: int = 0):
     """Sort lanes by owner (invalid last).  Returns (words, valid, owner)
-    sorted, plus per-owner counts [n_shards]."""
+    sorted, plus per-owner counts [n_shards].  Validity is NOT carried as
+    a sort payload: invalid lanes get the dead owner n_shards, so the
+    sorted validity is simply ``owner < n_shards`` -- one fewer operand
+    in the route's dominant sort."""
     owner = jnp.where(valid, owner_of(words, n_shards, seed), n_shards)
     owner = owner.astype(jnp.int32)
-    o, hi, lo, v = jax.lax.sort(
-        (owner, words.hi, words.lo, valid), num_keys=1, is_stable=True)
+    o, hi, lo = jax.lax.sort(
+        (owner, words.hi, words.lo), num_keys=1, is_stable=True)
     counts = _owner_histogram(o, n_shards)
-    return U64(hi, lo), v, o, counts
+    return U64(hi, lo), o < n_shards, o, counts
 
 
 def _bucket_slices(arrs, starts: jnp.ndarray, capacity: int,
@@ -288,8 +291,8 @@ def route_wide(words: U128, valid: jnp.ndarray, axis_name: str,
         U64(words.lo.hi.reshape(-1), words.lo.lo.reshape(-1)))
     v = valid.reshape(-1)
     owner = jnp.where(v, owner_of_wide(flat, d, seed), d).astype(jnp.int32)
-    o, hh, hl, lh, ll, sv = jax.lax.sort(
-        (owner, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo, v),
+    o, hh, hl, lh, ll = jax.lax.sort(
+        (owner, flat.hi.hi, flat.hi.lo, flat.lo.hi, flat.lo.lo),
         num_keys=1, is_stable=True)
     counts = _owner_histogram(o, d)
     starts = jnp.concatenate(
