@@ -35,16 +35,20 @@ def _cmd_count(args) -> int:
     from .parallel.stream import ShardedStreamingCounter, StreamingCounter
 
     def make_counter():
+        from .parallel.stream import auto_merge_every
+
+        merge_every = args.merge_every or auto_merge_every(
+            args.capacity, args.batch * args.length)
         if args.devices > 1:
             return ShardedStreamingCounter(
-                args.k, args.capacity, merge_every=args.merge_every,
+                args.k, args.capacity, merge_every=merge_every,
                 n_devices=args.devices,
                 route_capacity=args.route_capacity,
                 route_passes=args.route_passes,
                 partition=args.partition,
                 minimizer_w=args.minimizer_w)
         return StreamingCounter(args.k, args.capacity,
-                                merge_every=args.merge_every)
+                                merge_every=merge_every)
 
     def load_counter(resuming: bool):
         """(counter, batches_to_skip), from the checkpoint if one exists.
@@ -69,7 +73,10 @@ def _cmd_count(args) -> int:
             sc.dropped_kmers = loaded.dropped_kmers
         else:
             sc = loaded
-            sc.merge_every = max(1, args.merge_every)
+            from .parallel.stream import auto_merge_every
+
+            sc.merge_every = max(1, args.merge_every or auto_merge_every(
+                args.capacity, args.batch * args.length))
         print(f"resuming from {args.output}: {sc.batches} batches, "
               f"{sc.kmers} kmers", file=sys.stderr)
         return sc, sc.batches
@@ -266,9 +273,12 @@ def main(argv=None) -> int:
     c.add_argument("--batch", type=int, default=256)
     c.add_argument("--length", type=int, default=256,
                    help="row length; long records are halo-chunked")
-    c.add_argument("--merge-every", type=int, default=16,
+    c.add_argument("--merge-every", type=int, default=0,
                    help="consolidate pending batch tables every N batches "
-                        "(higher = fewer big merges, more device memory)")
+                        "(higher = fewer big merges, more device memory); "
+                        "0 = auto, ~capacity/batch-lanes clamped to "
+                        "[8, 64] (balances the merge's capacity and "
+                        "batch lane terms)")
     c.add_argument("--checkpoint-every", type=int, default=0,
                    help="save every N batches (enables --resume)")
     c.add_argument("--resume", action="store_true",

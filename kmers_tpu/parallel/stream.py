@@ -478,8 +478,21 @@ class ShardedStreamingCounter(StreamingCounter):
             self.table = self._replicate(self.table)
 
 
+def auto_merge_every(capacity: int, batch_lanes: int) -> int:
+    """Consolidation cadence that balances the merge's two lane terms.
+
+    A consolidation sorts capacity + merge_every * batch_lanes lanes, so
+    the amortized per-batch cost is ~ capacity/merge_every + batch_lanes;
+    below merge_every = capacity / batch_lanes the CAPACITY term
+    dominates (at the CLI defaults -- capacity 4M, 65k-lane batches --
+    the round-3 fixed default of 16 left it 4x dominant).  Clamp to
+    [8, 64]: past 64 the wins are <2% while pending-table memory grows
+    linearly."""
+    return max(8, min(64, capacity // max(1, batch_lanes)))
+
+
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
-                length: int = 256,
+                length: int = 256, merge_every: int = 0,
                 counter: Optional[StreamingCounter] = None,
                 packed: bool = True, prefetch_depth: int = 512,
                 devices: int = 1, route_capacity: int = 4096,
@@ -498,16 +511,19 @@ def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
     returned counter)."""
     from ..io import fastx
 
+    if merge_every <= 0:
+        merge_every = auto_merge_every(capacity, batch * length)
     if counter is not None:
         sc = counter
     elif devices > 1:
-        sc = ShardedStreamingCounter(k, capacity, n_devices=devices,
+        sc = ShardedStreamingCounter(k, capacity, merge_every=merge_every,
+                                     n_devices=devices,
                                      route_capacity=route_capacity,
                                      route_passes=route_passes,
                                      partition=partition,
                                      minimizer_w=minimizer_w)
     else:
-        sc = StreamingCounter(k, capacity)
+        sc = StreamingCounter(k, capacity, merge_every=merge_every)
     if getattr(sc, "partition", "hash") == "minimizer":
         packed = False    # super-k-mer emission starts from ASCII rows
     if packed and length % 32 == 0:
