@@ -536,6 +536,21 @@ def _superkmer_payload_words(k: int, w: int) -> int:
     return -(-(2 * (2 * k - w)) // 32)
 
 
+def _superkmer_layout(k: int, w: int):
+    """(nwords, meta_off, fold): where the run's window count (meta,
+    <= k-w+1 <= 31, 5 bits) lives.  When the last payload plane has >= 5
+    spare bits above the packed bases (fold=True), meta rides there --
+    one fewer route-sort operand and 4 fewer wire bytes per super-k-mer.
+    Safe because a receiver window j reads absolute bits < 2*(2k-w) only,
+    and its own 2k-bit masks cut everything above (see expand_superkmers);
+    the sender masks the last plane's pack garbage before OR-ing meta."""
+    nwords = _superkmer_payload_words(k, w)
+    bits_used = 2 * (2 * k - w)
+    meta_off = bits_used - 32 * (nwords - 1)
+    fold = meta_off <= 27
+    return nwords, meta_off, fold
+
+
 def emit_superkmers(reads_local: jnp.ndarray, k: int, w: int, seed: int):
     """Per-row super-k-mer extraction (static shapes, no control flow).
 
@@ -587,18 +602,33 @@ def emit_superkmers(reads_local: jnp.ndarray, k: int, w: int, seed: int):
     ns_excl = jnp.concatenate(
         [ns_incl[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
     c = jnp.where(start, ns_excl - col, 0)       # windows in this run
-    planes = tuple(kmer_ops._shift_left(w16, 16 * j)
-                   for j in range(_superkmer_payload_words(k, w)))
-    planes = planes + (c.astype(jnp.uint32),)
+    nwords, meta_off, fold = _superkmer_layout(k, w)
+    planes = [kmer_ops._shift_left(w16, 16 * j) for j in range(nwords)]
+    if fold:
+        # meta rides the last plane's spare bits (see _superkmer_layout);
+        # the pack garbage above the payload bits is masked out first
+        planes[-1] = ((planes[-1] & jnp.uint32((1 << meta_off) - 1))
+                      | (c.astype(jnp.uint32) << meta_off))
+        planes = tuple(planes)
+    else:
+        planes = tuple(planes) + (c.astype(jnp.uint32),)
     kmers = mm.valid.sum().astype(jnp.int32)
     return mm.word, start, planes, kmers
 
 
 def expand_superkmers(planes, valid: jnp.ndarray, k: int, w: int):
     """Receiver side: [N] super-k-mer lanes -> ([N, W] forward window
-    words, [N, W] validity), W = k-w+1.  All static shifts, no gathers."""
+    words, [N, W] validity), W = k-w+1.  All static shifts, no gathers.
+    The folded meta bits (when _superkmer_layout folds) never reach a
+    window's value: window j reads absolute bits < 2*(2k-w) and its own
+    2k-bit masks cut the rest."""
     W = k - w + 1
-    pw, meta = planes[:-1], planes[-1]
+    _, meta_off, fold = _superkmer_layout(k, w)
+    if fold:
+        pw = planes
+        meta = (planes[-1] >> meta_off) & jnp.uint32(31)
+    else:
+        pw, meta = planes[:-1], planes[-1]
     zeros = jnp.zeros_like(pw[0])
 
     def word_at(i):
@@ -644,7 +674,8 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
     for the same input.
     """
     assert k <= 31
-    nwords = _superkmer_payload_words(k, w)
+    nwords, meta_off, fold = _superkmer_layout(k, w)
+    n_planes = nwords if fold else nwords + 1
     if aggregate == "unit":
         table_spec = count_ops.UnitTable(keys=U64(P(axis), P(axis)))
     else:
@@ -663,7 +694,9 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
                                                       seed)
         routed = route_ops.route_payload(
             owner, start, planes, axis, route_capacity, seed,
-            passes=route_passes, weight_plane=nwords)
+            passes=route_passes, weight_plane=n_planes - 1,
+            weight_shift=meta_off if fold else 0,
+            weight_mask=31 if fold else None)
         fw, wv = expand_superkmers(routed.planes, routed.valid, k, w)
         canon = kmer_ops.canonical_word(fw, kmer_ops.reverse_complement(
             fw, k))
@@ -684,7 +717,7 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
             "route_overflow": jax.lax.psum(routed.overflow_weight, axis),
             "route_rerouted": jax.lax.psum(routed.rerouted, axis),
             "route_bytes": jax.lax.psum(
-                jnp.int32(routed.valid.size * (4 * (nwords + 1) + 1)),
+                jnp.int32(routed.valid.size * (4 * n_planes + 1)),
                 axis),
         }
         return CountResult(table=jax.tree.map(lambda x: x[None], table),

@@ -204,7 +204,9 @@ class RoutedPlanes(NamedTuple):
 
 def route_payload(owner_words: U64, valid: jnp.ndarray, planes,
                   axis_name: str, capacity: int, seed: int = 0,
-                  passes: int = 1, weight_plane=None) -> RoutedPlanes:
+                  passes: int = 1, weight_plane=None,
+                  weight_shift: int = 0,
+                  weight_mask=None) -> RoutedPlanes:
     """Route arbitrary uint32 payload planes to the shard owning
     ``hash(owner_words)`` -- the owner KEY itself is not shipped.
 
@@ -215,7 +217,9 @@ def route_payload(owner_words: U64, valid: jnp.ndarray, planes,
     ``route``.  weight_plane (an index into `planes`) makes the overflow
     accounting weight-aware: overflow_weight sums that plane over dropped
     lanes (e.g. the k-mers-per-super-k-mer meta plane, so droppage is
-    reported in K-MERS, not opaque super-k-mer lanes)."""
+    reported in K-MERS, not opaque super-k-mer lanes); weight_shift /
+    weight_mask extract a bit-field weight from that plane (the folded
+    meta layout, pipeline._superkmer_layout)."""
     d = jax.lax.axis_size(axis_name)
     flat_owner = U64(owner_words.hi.reshape(-1), owner_words.lo.reshape(-1))
     v = valid.reshape(-1)
@@ -233,9 +237,11 @@ def route_payload(owner_words: U64, valid: jnp.ndarray, planes,
         o_c = jnp.clip(o, 0, d - 1)
         rank = jnp.arange(n, dtype=jnp.int32) - starts[o_c]
         dropped = (o < d) & (rank >= passes * capacity)
+        wvals = sorted_planes[weight_plane] >> weight_shift
+        if weight_mask is not None:
+            wvals = wvals & jnp.uint32(weight_mask)
         overflow_weight = jnp.where(
-            dropped, sorted_planes[weight_plane].astype(jnp.int32),
-            0).sum().astype(jnp.int32)
+            dropped, wvals.astype(jnp.int32), 0).sum().astype(jnp.int32)
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
     slice_at = _bucket_slices(sorted_planes, starts, capacity,

@@ -26,10 +26,15 @@ def genome_reads(n_reads, L, n_rate=0.02, seed=3):
     return rows
 
 
-def test_emit_expand_roundtrip_single_host():
+@pytest.mark.parametrize("k,w", [
+    (21, 7),    # folded meta layout (6 spare-bit offset)
+    (31, 11),   # folded, 4 payload words (the CLI default shape)
+    (18, 4),    # NO spare bits (2*(2k-w) = 64): separate meta plane
+    (16, 5),    # fold at a high offset (22)
+])
+def test_emit_expand_roundtrip_single_host(k, w):
     """Expanding the emitted super-k-mers reproduces exactly the k-mer
     multiset of the windows (order aside), including runs cut by Ns."""
-    k, w = 21, 7
     rows = genome_reads(16, 64, n_rate=0.05)
     owner, start, planes, kmers = pipeline.emit_superkmers(
         jnp.asarray(rows), k, w, seed=0)
