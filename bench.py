@@ -53,9 +53,17 @@ def main():
     rng = np.random.default_rng(0)
     reads0 = jnp.asarray(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
                                     size=(B, L)))
-    sec = benchlib.chain_seconds_per_iter(step, reads0)
+    # VERDICT r4 item 2: one chain-slope measurement has a real 0.80-0.91x
+    # run-to-run spread over the relay (BENCH_r0{2,3,4} sat at ~0.83 while
+    # hand runs drew 0.91).  The headline is now the MEDIAN of >= 5
+    # independent slope measurements, with the spread reported alongside
+    # so a lucky/unlucky draw is visible instead of silently shipped.
+    n_rounds = int(os.environ.get("KMERS_TPU_BENCH_ROUNDS", "5"))
+    secs = [benchlib.chain_seconds_per_iter(step, reads0)
+            for _ in range(n_rounds)]
     kmers = B * (L - K + 1)
-    rate = kmers / sec
+    rates = sorted(kmers / s for s in secs)
+    rate = float(np.median(rates))
     bytes_per_iter = B * L * (18 + 5)
     sol = hbm_gbps() * 1e9 / (bytes_per_iter / kmers)
     print(json.dumps({
@@ -63,6 +71,9 @@ def main():
         "value": round(rate, 1),
         "unit": "kmers/s",
         "vs_baseline": round(rate / sol, 4),
+        "spread_min": round(rates[0] / sol, 4),
+        "spread_max": round(rates[-1] / sol, 4),
+        "rounds": n_rounds,
     }))
 
 

@@ -109,14 +109,15 @@ def main():
     B4, L4 = (256, 512) if QUICK else (2048, 1024)
 
     def cfg4(reads):
-        word_hi, word_lo, pos, _valid = kmini.minimizer_kernel(reads, 31, 11)
+        word_hi, word_lo, pos, _valid = kmini.minimizer_kernel(
+            reads, 31, 11, order="mix32")
         return benchlib.ascii_from_codes(word_lo ^ pos.astype(jnp.uint32))
 
     rate = benchlib.chain_rate(cfg4, first_reads(B4, L4, 4),
                                B4 * (L4 - 31 + 1))
     emit("minimizers_k31_w11", rate, "kmers/s",
-         "mix32 selection order (the default); 8-chip data-parallel "
-         "path: tests/test_halo.py on CPU mesh")
+         "mix32 selection order (explicit opt-in; default is mix64); "
+         "8-chip data-parallel path: tests/test_halo.py on CPU mesh")
 
     # config 5: full counting pipeline (windows+canonical+sort+count),
     # E. coli-scale stream = many such batches; multi-host all_to_all path

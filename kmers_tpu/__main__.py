@@ -34,20 +34,31 @@ def _cmd_count(args) -> int:
     from .io import fastx
     from .parallel.stream import ShardedStreamingCounter, StreamingCounter
 
-    def make_counter():
-        from .parallel.stream import auto_merge_every
+    def auto_cadence():
+        from .parallel.stream import auto_merge_every, pending_table_lanes
 
-        merge_every = args.merge_every or auto_merge_every(
-            args.capacity, args.batch * args.length)
+        return auto_merge_every(args.capacity, pending_table_lanes(
+            args.batch, args.length, devices=args.devices,
+            route_capacity=args.route_capacity,
+            route_passes=args.route_passes, partition=args.partition,
+            k=args.k, minimizer_w=args.minimizer_w))
+
+    def make_counter():
+        from .core.spec import KmerSpec
+
+        # one frozen config object carries k / minimizer width / seed and
+        # the KMERS_TPU_* env knobs into the counters (core/spec.py)
+        spec = KmerSpec.from_env(args.k, w=args.minimizer_w,
+                                 seed=args.seed)
+        merge_every = args.merge_every or auto_cadence()
         if args.devices > 1:
             return ShardedStreamingCounter(
-                args.k, args.capacity, merge_every=merge_every,
+                spec, args.capacity, merge_every=merge_every,
                 n_devices=args.devices,
                 route_capacity=args.route_capacity,
                 route_passes=args.route_passes,
-                partition=args.partition,
-                minimizer_w=args.minimizer_w)
-        return StreamingCounter(args.k, args.capacity,
+                partition=args.partition)
+        return StreamingCounter(spec, args.capacity,
                                 merge_every=merge_every)
 
     def load_counter(resuming: bool):
@@ -73,10 +84,7 @@ def _cmd_count(args) -> int:
             sc.dropped_kmers = loaded.dropped_kmers
         else:
             sc = loaded
-            from .parallel.stream import auto_merge_every
-
-            sc.merge_every = max(1, args.merge_every or auto_merge_every(
-                args.capacity, args.batch * args.length))
+            sc.merge_every = max(1, args.merge_every or auto_cadence())
         print(f"resuming from {args.output}: {sc.batches} batches, "
               f"{sc.kmers} kmers", file=sys.stderr)
         return sc, sc.batches
@@ -263,13 +271,37 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kmers_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    c = sub.add_parser("count", help="count canonical k-mers of a file")
+    c = sub.add_parser(
+        "count", help="count canonical k-mers of a file",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog=(
+            "exactness contract: counts are exact iff --capacity >= the\n"
+            "input's DISTINCT canonical k-mer count (and no routing\n"
+            "overflow in sharded mode).  Past capacity, lowest-count\n"
+            "entries are evicted first and the dropped mass is reported\n"
+            "(dropped_unique / dropped_kmers; exit code 3) -- counts are\n"
+            "then lower bounds (an evicted key restarts from zero if it\n"
+            "reappears).  Treat any nonzero 'dropped' as re-run bigger.\n"
+            "\n"
+            "environment knobs (advanced tuning):\n"
+            "  KMERS_TPU_SEG_LANES=N   segment size of the VMEM\n"
+            "                          segment-local count kernel\n"
+            "                          (default 64; partial-count API)\n"
+            "  KMERS_TPU_NO_SEGMENT=1  disable that kernel (globally\n"
+            "                          sorted run-length tables instead)\n"
+            "  KMERS_TPU_BITONIC=1     opt into the Pallas bitonic sort\n"
+            "                          (slower than XLA's as of round 3;\n"
+            "                          kept for measurement)\n"))
     c.add_argument("input", help="FASTA/FASTQ path")
     c.add_argument("-k", type=int, required=True,
                    help="k-mer length (1..64; k > 32 uses 128-bit keys)")
     c.add_argument("-o", "--output", required=True, help="output .npz table")
     c.add_argument("--capacity", type=int, default=1 << 22,
-                   help="max distinct kmers (default 4M)")
+                   help="max distinct kmers the table can hold (default "
+                        "4M).  Counts are EXACT only when this is >= the "
+                        "input's distinct-k-mer count; otherwise lowest-"
+                        "count entries are evicted (reported as dropped_*, "
+                        "exit 3) and surviving counts are lower bounds")
     c.add_argument("--batch", type=int, default=256)
     c.add_argument("--length", type=int, default=256,
                    help="row length; long records are halo-chunked")
@@ -310,6 +342,10 @@ def main(argv=None) -> int:
                         "windows, so oversizing inflates merge lanes)")
     c.add_argument("--minimizer-w", type=int, default=11,
                    help="minimizer width for --partition minimizer")
+    c.add_argument("--seed", type=int, default=0,
+                   help="seed of the routing/minimizer mixer hash "
+                        "(carried by the KmerSpec config object; affects "
+                        "shard assignment, never counts)")
     c.set_defaults(fn=_cmd_count)
 
     q = sub.add_parser("query", help="look up k-mers in a saved table")

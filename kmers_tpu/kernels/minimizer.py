@@ -251,7 +251,7 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
 def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
                      use_lex: bool = False, block_rows: int = 64,
                      interpret: bool = False, stage: str = "full",
-                     order: str = "mix32"):
+                     order: str = "mix64"):
     """Per-k-mer minimizers over [B, L] uint8 reads.
 
     Returns (word_hi, word_lo, pos, valid_u8), all [B, L]: entry p is the
@@ -261,10 +261,14 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     (order="mix32" <-> hash.mix32_hash_fn, "mix64" <-> mix_hash_fn,
     use_lex <-> lex_hash_fn) and therefore to the reference deque
     (minimizers.rs:60-142 incl. the leftmost-tie rule); invalid lanes
-    are unspecified.  The default selection order is mix32
-    (core.u64.mix32_order): a minimizer scheme needs only a fixed total
-    order on w-mers, and one compare plane makes the VPU-bound window
-    scan ~1.5x faster (13.1 vs 8.6 G kmers/s measured, BASELINE.md).
+    are unspecified.  The default selection order is mix64 (matching
+    make_sharded_minimizer_counter's jnp path and rounds 2-3 output, so
+    an omitted `order` never silently changes minimizers across
+    versions; ADVICE r4).  Pass order="mix32" (core.u64.mix32_order) for
+    the fast arm: a minimizer scheme needs only a fixed total order on
+    w-mers, and one compare plane makes the VPU-bound window scan ~1.5x
+    faster (13.1 vs 8.6 G kmers/s measured, BASELINE.md) -- the
+    super-k-mer pipeline (pipeline.emit_superkmers) opts in explicitly.
     """
     assert 1 <= w <= min(k, 32) and k <= reads.shape[-1]
     B, L = reads.shape

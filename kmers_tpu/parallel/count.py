@@ -105,14 +105,15 @@ def _bitonic_eligible(n: int, n_extras: int) -> bool:
     (strictly greater than every real key incl. the folded invalid flag)
     and sliced back.
 
-    OPT-IN (KMERS_TPU_BITONIC=1) until it beats XLA: the loop-form kernel
-    measures 7.3 ms per 1M-lane sort vs lax.sort's 1.55 ms on v5e --
-    Mosaic's dynamic-stride sublane rotates cost ~10x a static roll, which
-    buries the 10-vs-114 HBM-pass win (BASELINE.md, 2026-08).  The static-
-    stride redesign is tracked in kernels/sort.py's docstring."""
-    import os
+    OPT-IN (KMERS_TPU_BITONIC=1 via core.spec) until it beats XLA: the
+    loop-form kernel measures 7.3 ms per 1M-lane sort vs lax.sort's
+    1.55 ms on v5e -- Mosaic's dynamic-stride sublane rotates cost ~10x a
+    static roll, which buries the 10-vs-114 HBM-pass win (BASELINE.md,
+    2026-08).  The static-stride redesign is tracked in kernels/sort.py's
+    docstring."""
+    from ..core import spec as spec_mod
 
-    if not os.environ.get("KMERS_TPU_BITONIC"):
+    if not spec_mod.env_bitonic():
         return False
     if n_extras or n < 512:
         return False
@@ -293,9 +294,9 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
     sorted per segment instead of globally -- exact after any merge, but
     n_unique counts (segment, key) runs, which upper-bounds distinct
     keys."""
-    import os
+    from ..core import spec as spec_mod
 
-    if os.environ.get("KMERS_TPU_NO_SEGMENT"):
+    if spec_mod.env_no_segment():
         return False
     if max_k is None or max_k > 31:
         return False
@@ -306,12 +307,12 @@ def _segmented_eligible(max_k: Optional[int]) -> bool:
 
 
 def _seg_lanes_default() -> int:
-    """Segment size knob (KMERS_TPU_SEG_LANES, default 64): smaller
-    segments cost fewer bitonic stages but more cross-segment duplicate
-    runs (free at merge time) -- tune per workload if needed."""
-    import os
+    """Segment size knob (KMERS_TPU_SEG_LANES via core.spec, default 64):
+    smaller segments cost fewer bitonic stages but more cross-segment
+    duplicate runs (free at merge time) -- tune per workload if needed."""
+    from ..core import spec as spec_mod
 
-    return int(os.environ.get("KMERS_TPU_SEG_LANES", 1 << 6))
+    return spec_mod.env_seg_lanes()
 
 
 def count_words_segmented(words: U64, valid: jnp.ndarray,
@@ -578,9 +579,9 @@ def _compact_wide(s: U128, starts: jnp.ndarray, idx: jnp.ndarray,
 def _segmented_eligible_wide(max_k: Optional[int]) -> bool:
     """count_words_wide(compact=False) may use the wide segment-local
     Pallas kernel when the spare bit exists (k <= 63) on a TPU backend."""
-    import os
+    from ..core import spec as spec_mod
 
-    if os.environ.get("KMERS_TPU_NO_SEGMENT"):
+    if spec_mod.env_no_segment():
         return False
     if max_k is None or max_k > 63:
         return False
@@ -621,9 +622,18 @@ def count_words_wide(words: U128, valid: jnp.ndarray,
                      compact: bool = True) -> CountTableWide:
     """Sort + count 128-bit keys: lexicographic sort then run-length
     counting (see sort_by_word_wide for the max_k <= 63 spare-bit trick).
-    compact=False returns the run-length form (see count_sorted_runs); on
-    TPU with k <= 63 it comes from the wide segment-local Pallas kernel
-    (no global sort)."""
+
+    compact=False returns the run-length form (see count_sorted_runs),
+    and -- LAYOUT NOTE (ADVICE r4) -- on a TPU backend with max_k <= 63
+    it comes from the wide segment-local Pallas kernel: keys are sorted
+    only WITHIN 64-lane segments, not globally (unlike count_sorted_runs'
+    globally sorted-with-duplicates layout), and n_unique counts
+    (segment, key) runs, which upper-bounds the distinct-key count.
+    Exact for every merge consumer (merge_many_wide re-counts), but do
+    not binary-search or assume global key order over a non-compact
+    table; set KMERS_TPU_NO_SEGMENT=1 or compact=True for globally
+    sorted keys.  This mirrors the narrow path's documented behavior
+    (count_words)."""
     if not compact and _segmented_eligible_wide(max_k):
         return count_words_segmented_wide(words, valid)
     s, sv, _ = sort_by_word_wide(words, valid,

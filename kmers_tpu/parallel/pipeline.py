@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core import u64 as u
+from ..core.spec import KmerSpec
 from ..core.u64 import U64
 from ..ops import kmer as kmer_ops
 from . import count as count_ops
@@ -49,6 +50,21 @@ def _resolve_aggregate(compact: bool, aggregate: Optional[str]) -> str:
     return aggregate
 
 
+def _resolve_k(k, spec: Optional[KmerSpec]):
+    """`k` may be an int, a KmerSpec, or None with `spec` given -- the
+    KmerSpec is the framework's one config carrier (core/spec.py)."""
+    if isinstance(k, KmerSpec):
+        assert spec is None or spec is k
+        return k.k
+    if spec is not None:
+        if k is not None and k != spec.k:
+            raise ValueError(f"k={k} contradicts spec.k={spec.k}")
+        return spec.k
+    if k is None:
+        raise TypeError("pass k or spec")
+    return k
+
+
 def _folded_kernel_ok(reads: jnp.ndarray, k: int) -> bool:
     """Whether the fused Pallas folded-key kernel can serve this unit-mode
     batch: TPU backend, k <= 31, batch divisible into kernel blocks."""
@@ -71,9 +87,12 @@ def _count_metrics(n_reads: int, n_win: int, emitted) -> Dict[str, jnp.ndarray]:
     }
 
 
-def count_reads(reads: jnp.ndarray, k: int, compact: bool = True,
-                aggregate: Optional[str] = None) -> CountResult:
+def count_reads(reads: jnp.ndarray, k=None, compact: bool = True,
+                aggregate: Optional[str] = None,
+                spec: Optional[KmerSpec] = None) -> CountResult:
     """Single-device bit-exact k-mer counter (BASELINE config 2).
+
+    `k` may be an int or a core.spec.KmerSpec (or pass spec=).
 
     aggregate selects the per-batch table form (default from `compact`):
       "compact"    sorted + compacted CountTable (direct reads/lookup)
@@ -87,6 +106,7 @@ def count_reads(reads: jnp.ndarray, k: int, compact: bool = True,
                    is overhead -- see count.UnitTable.  On TPU this is one
                    fused Pallas kernel (kernels/window.pack_canonical_keys)
                    at ~39 G keys/s."""
+    k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
     n_win = reads.shape[-1] - k + 1
     if mode == "unit":
@@ -114,13 +134,16 @@ def count_reads(reads: jnp.ndarray, k: int, compact: bool = True,
 
 
 def count_reads_packed(words: jnp.ndarray, validbits: jnp.ndarray,
-                       k: int, compact: bool = True,
-                       aggregate: Optional[str] = None) -> CountResult:
+                       k=None, compact: bool = True,
+                       aggregate: Optional[str] = None,
+                       spec: Optional[KmerSpec] = None) -> CountResult:
     """count_reads over PACKED ingest batches ([B, L/16] code words +
     [B, L/32] validity bitmaps from io.fastx.read_packed_batches): same
     table, ~2.7x less host->device traffic (the round-2 CLI was
     upload-bound with the device 4% busy).  See count_reads for
-    `aggregate`; the unit form here is the XLA-fused jnp window path."""
+    `aggregate` and `spec`; on TPU the unit form runs the fused Pallas
+    packed-ingest kernel (kernels/window.pack_canonical_keys_packed)."""
+    k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
     win = kmer_ops.kmer_windows_packed(words, validbits, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
@@ -290,11 +313,13 @@ def canonical_kmers_wide(reads: jnp.ndarray, k: int):
     return kmer_ops.canonical_word_wide(win.fw, win.rc), win.valid
 
 
-def count_reads_wide(reads: jnp.ndarray, k: int, compact: bool = True,
-                     aggregate: Optional[str] = None) -> CountResult:
+def count_reads_wide(reads: jnp.ndarray, k=None, compact: bool = True,
+                     aggregate: Optional[str] = None,
+                     spec: Optional[KmerSpec] = None) -> CountResult:
     """Single-device counter for multi-word k (BASELINE config 3).  See
-    count_reads for `aggregate`; "unit" needs k <= 63 (spare flag bit in
-    hi.hi)."""
+    count_reads for `aggregate` and `spec`; "unit" needs k <= 63 (spare
+    flag bit in hi.hi)."""
+    k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
     canon, valid = canonical_kmers_wide(reads, k)
     emitted = valid.sum().astype(jnp.int32)
@@ -310,9 +335,11 @@ def count_reads_wide(reads: jnp.ndarray, k: int, compact: bool = True,
 
 
 def count_reads_packed_wide(words: jnp.ndarray, validbits: jnp.ndarray,
-                            k: int, compact: bool = True,
-                            aggregate: Optional[str] = None) -> CountResult:
+                            k=None, compact: bool = True,
+                            aggregate: Optional[str] = None,
+                            spec: Optional[KmerSpec] = None) -> CountResult:
     """count_reads_wide over packed ingest batches (33 <= k <= 64)."""
+    k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
     win = kmer_ops.kmer_windows_packed_wide(words, validbits, k)
     canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
@@ -519,13 +546,23 @@ def make_sharded_minimizer_counter(mesh: Mesh, k: int, w: int, *,
 #
 # THE point of minimizers in distributed k-mer counting (SURVEY.md §5.8;
 # reference rationale at seq_vector/minimizers.rs:20-36): consecutive
-# k-mers overwhelmingly share their minimizer, and every occurrence of a
-# given k-mer has the same minimizer, so routing by hash(minimizer) both
-# (a) keeps shards disjoint by k-mer key (the global table stays exact)
-# and (b) lets a RUN of r consecutive k-mers travel as ONE lane of packed
-# bases (r + k - 1 bases <= 2k - w) instead of r separate 8-byte words --
-# the mean run length is ~(k-w+2)/2, so wire bytes per k-mer drop ~4-6x
-# vs hash-prefix routing of individual k-mers.
+# k-mers overwhelmingly share their minimizer, so a RUN of r consecutive
+# k-mers travels as ONE lane of packed bases (r + k - 1 bases <= 2k - w)
+# instead of r separate 8-byte words -- the mean run length is ~(k-w+2)/2,
+# so wire bytes per k-mer drop ~4-6x vs hash-prefix routing of individual
+# k-mers.
+#
+# Shard-disjointness caveat (ADVICE r4): minimizers are selected on the
+# FORWARD strand of each read, while the counted key is canonical.  The
+# same canonical k-mer occurring as a reverse complement in another read
+# derives its minimizer from the RC strand's w-mers and can land on a
+# DIFFERENT shard -- per-shard tables are therefore NOT key-disjoint
+# partial counts (unlike hash-prefix routing).  The final table is still
+# exact because every consumer (global_table, StreamingCounter's
+# merge_many consolidation) re-counts across shards; do not key-hash
+# lookups or treat a single shard's table as authoritative for a key.
+# Tested with explicit reverse-complement read pairs in
+# tests/test_superkmer.py.
 
 from ..ops import encoding as enc_ops        # noqa: E402
 
@@ -663,9 +700,13 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
     """Sharded counting with super-k-mer (minimizer-partitioned) routing
     (k <= 31): the `--partition minimizer` pipeline.
 
-    Produces the BIT-EXACT same global k-mer table as hash-prefix routing
-    (same key -> same minimizer -> same shard: shards stay disjoint),
-    while shipping packed base runs instead of per-k-mer words.  Metrics:
+    The GLOBAL table (after the cross-shard re-count every consumer runs:
+    global_table / StreamingCounter's merge_many consolidation) is
+    bit-exact vs hash-prefix routing, while packed base runs ship instead
+    of per-k-mer words.  Per-shard tables are NOT key-disjoint, unlike
+    hash routing: minimizers are selected on the forward strand, so a
+    canonical k-mer seen as a reverse complement elsewhere can land on a
+    different shard (see the module comment above).  Metrics:
       superkmers       routed lanes (run count)
       route_bytes      wire bytes of the fixed send buffers
       route_overflow   K-MERS dropped (meta-weighted, never silent)

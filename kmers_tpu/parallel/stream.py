@@ -169,11 +169,18 @@ class StreamingCounter:
     multi-word reach (kmer.rs:12-14, k=65 u128 vectors at naive.rs:419-445).
     """
 
-    def __init__(self, k: int, capacity: int, merge_every: int = 16):
+    def __init__(self, k, capacity: int, merge_every: int = 16):
+        from ..core.spec import KmerSpec
+
+        # `k` may be an int or a KmerSpec -- the framework's one config
+        # carrier (core/spec.py); the spec's frozen env knobs and seed
+        # ride along to the pipelines.
+        self.spec = k if isinstance(k, KmerSpec) else KmerSpec.from_env(k)
+        k = self.spec.k
         if not (1 <= k <= 64):
             raise ValueError("StreamingCounter supports 1 <= k <= 64")
         self.k = k
-        self.wide = k > 32
+        self.wide = self.spec.wide
         self.capacity = capacity
         self.merge_every = max(1, merge_every)
         # Per-batch table form: "unit" (raw folded canonical keys, NO
@@ -181,8 +188,7 @@ class StreamingCounter:
         # lane regardless, see count.UnitTable) whenever the spare flag
         # bit exists; k = 32 / 64 keys use all 2k bits, so those fall back
         # to the round-3 run-length form.
-        self._aggregate = ("unit" if (k <= 31 or 33 <= k <= 63)
-                           else "runlength")
+        self._aggregate = self.spec.aggregate
         agg = self._aggregate
         z = jnp.zeros(capacity, dtype=jnp.uint32)
         if self.wide:
@@ -369,15 +375,22 @@ class ShardedStreamingCounter(StreamingCounter):
     tables.
     """
 
-    def __init__(self, k: int, capacity: int, merge_every: int = 16,
+    def __init__(self, k, capacity: int, merge_every: int = 16,
                  mesh=None, n_devices: Optional[int] = None,
                  route_capacity: int = 4096, route_passes: int = 1,
-                 seed: int = 0, partition: str = "hash",
-                 minimizer_w: int = 11):
+                 seed: Optional[int] = None, partition: str = "hash",
+                 minimizer_w: Optional[int] = None):
         from . import mesh as mesh_ops
         from . import pipeline as pl
 
         super().__init__(k, capacity, merge_every)
+        # seed / minimizer width default from the spec (KmerSpec carries
+        # them when `k` was passed as a spec); explicit kwargs win
+        if seed is None:
+            seed = self.spec.seed
+        if minimizer_w is None:
+            minimizer_w = self.spec.w if self.spec.w is not None else 11
+        k = self.k
         assert partition in ("hash", "minimizer")
         if partition == "minimizer" and k > 31:
             raise ValueError("minimizer partitioning needs k <= 31")
@@ -395,8 +408,11 @@ class ShardedStreamingCounter(StreamingCounter):
         if partition == "minimizer":
             # super-k-mer transport: k-mers sharing a minimizer travel as
             # one packed-bases lane (~4-6x fewer wire bytes per k-mer);
-            # global table identical to hash partitioning (same k-mer ->
-            # same minimizer -> same shard)
+            # the GLOBAL table is identical to hash partitioning because
+            # the consolidation re-counts across shards -- per-shard
+            # tables are NOT key-disjoint (forward-strand minimizers can
+            # send a canonical key's RC occurrences elsewhere; see
+            # pipeline.py's super-k-mer module comment)
             self._scount = pl.make_superkmer_counter(
                 self.mesh, k, minimizer_w, route_capacity=route_capacity,
                 route_passes=route_passes, seed=seed,
@@ -487,8 +503,35 @@ def auto_merge_every(capacity: int, batch_lanes: int) -> int:
     dominates (at the CLI defaults -- capacity 4M, 65k-lane batches --
     the round-3 fixed default of 16 left it 4x dominant).  Clamp to
     [8, 64]: past 64 the wins are <2% while pending-table memory grows
-    linearly."""
+    linearly.
+
+    batch_lanes must be the ACTUAL per-batch pending-table lane count --
+    use pending_table_lanes(); in sharded mode that is route-derived
+    (passes * D^2 * route_capacity [* (k-w+1) for super-k-mers]), NOT
+    batch * length (ADVICE r4)."""
     return max(8, min(64, capacity // max(1, batch_lanes)))
+
+
+def pending_table_lanes(batch: int, length: int, devices: int = 1,
+                        route_capacity: int = 4096, route_passes: int = 1,
+                        partition: str = "hash", k: int = 0,
+                        minimizer_w: int = 11) -> int:
+    """Lane count of ONE pending per-batch table, per mode (feeds
+    auto_merge_every).
+
+    Single device: the unit/run-length table spans the batch's window
+    lanes, batch * length.  Sharded: each of the D shards receives
+    route_passes * D * route_capacity lanes (parallel.route's fixed
+    send buffers), so the stacked pending table holds
+    passes * D^2 * route_capacity lanes -- independent of the batch
+    shape.  Minimizer partitioning additionally expands every received
+    super-k-mer lane to k - w + 1 windows (pipeline.expand_superkmers)."""
+    if devices > 1:
+        lanes = route_passes * devices * devices * route_capacity
+        if partition == "minimizer":
+            lanes *= max(1, k - minimizer_w + 1)
+        return lanes
+    return batch * length
 
 
 def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
@@ -512,7 +555,10 @@ def count_fastx(path: str, k: int, capacity: int, batch: int = 256,
     from ..io import fastx
 
     if merge_every <= 0:
-        merge_every = auto_merge_every(capacity, batch * length)
+        merge_every = auto_merge_every(capacity, pending_table_lanes(
+            batch, length, devices=devices, route_capacity=route_capacity,
+            route_passes=route_passes, partition=partition, k=k,
+            minimizer_w=minimizer_w))
     if counter is not None:
         sc = counter
     elif devices > 1:

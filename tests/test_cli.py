@@ -46,6 +46,42 @@ def test_cli_count_query_stats(fasta, tmp_path, capsys):
     assert main(["query", out, "ACGT"]) == 2
 
 
+def test_cli_eviction_surfaced_in_warning_and_stats(fasta, tmp_path,
+                                                    capsys):
+    """VERDICT r4 item 10: when capacity < distinct keys, the eviction is
+    never silent -- count exits 3 with a capacity WARNING, and `stats`
+    surfaces the dropped mass (the exactness contract's observable)."""
+    path, recs = fasta
+    out = str(tmp_path / "small.npz")
+    rc = main(["count", path, "-k", "15", "-o", out,
+               "--batch", "8", "--length", "96", "--capacity", "64",
+               "--merge-every", "1"])
+    assert rc == 3
+    err = capsys.readouterr().err
+    assert "capacity exceeded" in err and "--capacity" in err
+    assert main(["stats", out]) == 0
+    stats = capsys.readouterr().out
+    import re
+
+    m = re.search(r"dropped:\s+(\d+) distinct / (\d+) occurrences", stats)
+    assert m, stats
+    assert int(m.group(1)) > 0 and int(m.group(2)) > 0
+    # surviving counts are lower bounds: live + dropped == emitted mass
+    total = sum(len(r) - 15 + 1 for r in recs)
+    m2 = re.search(r"total kmers:\s+(\d+)", stats)
+    assert int(m2.group(1)) == total
+
+
+def test_cli_help_states_exactness_contract(capsys):
+    with pytest.raises(SystemExit) as e:
+        main(["count", "--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "exactness contract" in out
+    assert "KMERS_TPU_SEG_LANES" in out        # env knobs documented
+    assert "lower bounds" in out
+
+
 def test_cli_resume_k_mismatch(fasta, tmp_path):
     path, _ = fasta
     out = str(tmp_path / "t.npz")

@@ -260,3 +260,52 @@ def test_sharded_route_overflow_is_counted():
     want_total = sum(len(list(o.CanonicalKmerIterator(r, k))) for r in reads)
     assert sc.route_overflow > 0
     assert total + sc.route_overflow == want_total
+
+
+def test_kmerspec_is_the_config_carrier(monkeypatch):
+    """VERDICT r4 item 8: KmerSpec carries (k, w, seed) + the env knobs
+    and is accepted by count_reads* and the counters."""
+    from kmers_tpu import KmerSpec
+    from kmers_tpu.parallel import pipeline
+
+    monkeypatch.setenv("KMERS_TPU_SEG_LANES", "128")
+    monkeypatch.setenv("KMERS_TPU_NO_SEGMENT", "1")
+    spec = KmerSpec.from_env(21, w=7, seed=9)
+    assert spec.seg_lanes == 128
+    assert not spec.segment_kernel
+    assert not spec.bitonic_sort
+    assert spec.aggregate == "unit" and not spec.wide
+    _, arr = make_batch(4, 60)
+    via_spec = pipeline.count_reads(arr, spec)
+    via_int = pipeline.count_reads(arr, 21)
+    np.testing.assert_array_equal(np.asarray(via_spec.table.keys.lo),
+                                  np.asarray(via_int.table.keys.lo))
+    with pytest.raises(ValueError):
+        pipeline.count_reads(arr, k=20, spec=spec)
+    # counters take the spec in place of k (seed/w ride along)
+    sc = StreamingCounter(spec, capacity=1024)
+    assert sc.k == 21 and sc.spec.seed == 9
+    reads, arr = make_batch(4, 60)
+    sc.update(arr)
+    assert sc.to_pairs() == oracle_counts(reads, 21)
+    # wide + k=32 fallbacks keep their aggregate forms
+    assert KmerSpec.from_env(32).aggregate == "runlength"
+    assert KmerSpec.from_env(63).aggregate == "unit"
+    assert KmerSpec.from_env(33).wide
+
+
+def test_sharded_counter_takes_spec_seed():
+    import jax
+
+    from kmers_tpu import KmerSpec
+    from kmers_tpu.parallel.stream import ShardedStreamingCounter
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    spec = KmerSpec.from_env(15, w=7, seed=3)
+    sc = ShardedStreamingCounter(spec, capacity=4096, n_devices=8,
+                                 route_capacity=256, merge_every=1)
+    reads, arr = make_batch(8, 64)
+    sc.update(arr)
+    assert sc.route_overflow == 0
+    assert sc.to_pairs() == oracle_counts(reads, 15)

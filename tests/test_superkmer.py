@@ -104,6 +104,57 @@ def test_superkmer_overflow_counted_in_kmers():
         res.metrics["kmers_emitted"])
 
 
+def test_superkmer_reverse_complement_pairs_exact():
+    """ADVICE r4: forward-strand minimizer selection means a canonical
+    k-mer seen as a reverse complement in another read can route to a
+    DIFFERENT shard -- per-shard tables are not key-disjoint.  The global
+    table must still be exact because global_table re-counts across
+    shards.  Drive the pipeline with explicit RC read pairs (the case no
+    prior test generated)."""
+    k, w = 21, 7
+    fwd = genome_reads(32, 64, n_rate=0.0)
+    comp = {ord("A"): ord("T"), ord("T"): ord("A"),
+            ord("C"): ord("G"), ord("G"): ord("C")}
+    rc = np.vectorize(comp.get)(fwd[:, ::-1]).astype(np.uint8)
+    rows = np.concatenate([fwd, rc], axis=0)
+    m = mesh_ops.make_mesh(8)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=1024,
+                                          route_passes=2,
+                                          aggregate="compact")
+    res = cnt(jax.device_put(jnp.asarray(rows), mesh_ops.batch_sharding(m)))
+    assert int(res.metrics["route_overflow"]) == 0
+    g = pipeline.global_table(res)
+    want = pipeline.count_reads(jnp.asarray(rows), k,
+                                aggregate="compact").table
+    nu = int(want.n_unique)
+    assert int(g.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(g.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+    # every k-mer here appears on both strands, so each key's count is
+    # even -- the exactness above is only meaningful if RC mass arrived
+    assert (np.asarray(g.counts)[:nu] % 2 == 0).all()
+    # document the non-disjointness this test exists for: with RC pairs,
+    # at least one canonical key typically lands on two shards (forward-
+    # strand minimizers differ between the strands).  Don't hard-require
+    # it (shard assignment could coincide), just surface the observation.
+    t = res.table
+    d, cap = t.counts.shape
+    per_shard = []
+    for s in range(d):
+        nu_s = int(t.n_unique[s])
+        keys = (np.asarray(t.keys.hi[s])[:nu_s].astype(np.uint64) << 32
+                | np.asarray(t.keys.lo[s])[:nu_s].astype(np.uint64))
+        per_shard.append(set(keys.tolist()))
+    n_dup = sum(len(a & b) for i, a in enumerate(per_shard)
+                for b in per_shard[i + 1:])
+    # exactness held above either way; record the overlap for debugging
+    print(f"cross-shard duplicated keys: {n_dup}")
+
+
 def test_sharded_streaming_counter_minimizer_partition():
     from kmers_tpu.parallel.stream import (ShardedStreamingCounter,
                                            StreamingCounter)

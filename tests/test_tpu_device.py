@@ -98,7 +98,7 @@ def test_minimizer_kernel_compiled():
     k, w = 31, 11
     reads = rand_reads(64, 160)
     wh, wl, pos, v8 = (np.asarray(x) for x in
-                       kmini.minimizer_kernel(reads, k, w))
+                       kmini.minimizer_kernel(reads, k, w, order="mix32"))
     mm = mini_ops.minimizer_stream(reads, k, w,
                                hash_ops.mix32_hash_fn(0))
     valid = np.asarray(mm.valid)
