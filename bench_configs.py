@@ -506,8 +506,9 @@ def streaming_sustained():
              f"per-batch {t_batch*1e3:.3f} ms + merge {sec*1e3:.1f} ms / "
              f"merge_every {ME}")
 
-    # the CLI's default ingest: PACKED batches through the XLA-fused jnp
-    # unit path (no Pallas kernel takes packed input yet)
+    # the CLI's default ingest: PACKED batches -- since round 5 this
+    # dispatches to the fused Pallas packed-ingest kernel on TPU
+    # (kernels/window.pack_canonical_keys_packed, 0.5 B/lane input)
     from kmers_tpu.io.fastx import pack_batch_np
     from kmers_tpu.parallel.pipeline import count_reads_packed
 
@@ -522,8 +523,61 @@ def streaming_sustained():
 
     t_packed = benchlib.chain_seconds_per_iter(cfg5p, wv0)
     emit("count_pipeline_k31_unit_packed", kmers_per_batch / t_packed,
-         "kmers/s", "packed-ingest unit emission (jnp path, the CLI "
-         "default); ASCII Pallas path is count_pipeline_k31_unit")
+         "kmers/s", "packed-ingest unit emission (Pallas "
+         "pack_canonical_keys_packed on TPU; jnp fallback elsewhere)")
+
+
+def lookup_bench():
+    """Distributed lookup service (VERDICT r4 item 9): queries/s/chip for
+    make_sharded_lookup on a 1-device mesh -- the all_to_all is degenerate,
+    so this isolates the device cost of the query path: owner bucket-sort,
+    binary search over the shard table, and the scatter-based reply
+    delivery.  A second arm stops before the reply scatter to price the
+    scatter separately (route.py:365-374 -- the op class the counting path
+    avoided)."""
+    from kmers_tpu.core.u64 import U64
+    from kmers_tpu.parallel import count as count_ops
+    from kmers_tpu.parallel import mesh as mesh_ops, pipeline
+
+    NQ = (1 << 16) if QUICK else (1 << 20)
+    CAP = 1 << 20
+    m = mesh_ops.make_mesh(1)
+    # build a realistic table: random keys, counts 1..100
+    rng = np.random.default_rng(11)
+    n_keys = CAP // 2
+    keys = np.sort(rng.choice(2**62, size=n_keys, replace=False)).astype(
+        np.uint64)
+    table = count_ops.CountTable(
+        keys=U64(jnp.asarray((keys >> 32).astype(np.uint32)),
+                 jnp.asarray((keys & 0xFFFFFFFF).astype(np.uint32))),
+        counts=jnp.asarray(
+            np.where(np.arange(CAP) < n_keys,
+                     rng.integers(1, 100, CAP), 0).astype(np.int32)),
+        n_unique=jnp.int32(n_keys))
+    tables = jax.tree.map(lambda x: x[None], table)    # leading [D=1]
+    lookup = pipeline.make_sharded_lookup(m, query_capacity=NQ)
+
+    q0 = U64(jnp.asarray(rng.integers(0, 2**30, NQ, dtype=np.uint32)),
+             jnp.asarray(rng.integers(0, 2**32, NQ, dtype=np.uint32)))
+    valid = jnp.ones(NQ, dtype=bool)
+
+    def mix32(x):
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        return x ^ (x >> 16)
+
+    def step(carry):
+        qh, ql = carry
+        counts, _ov = lookup(tables, qh, ql, valid)
+        u = counts.astype(jnp.uint32)
+        return (mix32(qh ^ u) & jnp.uint32(0x3FFFFFFF), mix32(ql + u))
+
+    sec = benchlib.chain_seconds_per_iter(step, (q0.hi, q0.lo),
+                                          s_short=4, s_long=68, rounds=4)
+    emit("lookup_service_1chip", NQ / sec, "queries/s",
+         f"{NQ} queries vs {n_keys}-key table, incl. reply scatter")
 
 
 if __name__ == "__main__":
@@ -539,5 +593,7 @@ if __name__ == "__main__":
         minimizer_ablation()
     elif "--superk" in sys.argv:
         superkmer_bench()
+    elif "--lookup" in sys.argv:
+        lookup_bench()
     else:
         main()

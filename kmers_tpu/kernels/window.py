@@ -123,7 +123,12 @@ def _window_body(ascii_u8, k: int, seed: int, stage: str):
 
     if stage == "pack":
         return hi, lo, v
+    return _canon_hash_tail(hi, lo, v, k, seed, stage)
 
+
+def _canon_hash_tail(hi, lo, v, k: int, seed: int, stage: str):
+    """Shared tail of the window kernels (ASCII and packed-ingest): window
+    words -> canonical [-> hash].  Bit-identical to the jnp path."""
     # reverse complement: complement, 4-step in-lane ladder, (hi,lo) swap,
     # shift down to k bases (naive_impl/kmer.rs:124-136)
     def ladder(x):
@@ -224,6 +229,156 @@ def pack_canonical_hash(reads: jnp.ndarray, k: int, seed: int = 0,
         out_shape=(out32, out32, out32, out32, out8),
         interpret=interpret,
     )(reads)
+
+
+# -- packed-ingest kernel (VERDICT r4 item 3) ----------------------------------
+#
+# The CLI's default ingest ships 2-bit packed words (0.25 B/base) +
+# validity bitmaps, not ASCII; this kernel starts FROM that layout, so
+# per-lane HBM input drops 1 B (ASCII) -> 0.5 B (word + duplicated
+# validity word / 16 lanes) and the host's pack work is not redone.
+#
+# The lane-order trick: Mosaic has no element-repeat along lanes (only
+# pltpu.repeat = TILE-repeat), so expanding words[j] to the 16 lanes of
+# its bases is not directly expressible.  But a tile-repeat IS the wanted
+# expansion under a transposed lane order: define output lane
+#     q = r * NW + j   <->   window at base p = 16*j + r
+# (NW = L/16 words/row, r = in-word base offset).  Then
+# tile16(words)[q] = words[q mod NW] = words[j] -- exactly the word
+# containing base p -- and neighbor ops stay cheap:
+#     base p+16  ->  (r, j+1)  =  lane q+1          (one roll)
+#     base p+s   ->  r' = r+s mod 16, j' = j + (r+s)//16
+#                =  lane q + NW*s        (r <  16-s)
+#                   lane q + NW*s-L+1    (r >= 16-s)  (two rolls + select)
+# The q-order output is a PERMUTATION of the window lanes, which the
+# counting consumer (count.UnitTable -> merge sort) treats as an
+# unordered multiset, so no un-permute pass is ever paid; tests compare
+# against the jnp path through the documented q<->p map.
+
+
+def _packed_windows(words: jnp.ndarray, vdup: jnp.ndarray, k: int):
+    """[BB, NW] packed code words + [BB, NW] duplicated validity words ->
+    (hi, lo, valid01) window planes [BB, L] in q-layout (see above).
+
+    vdup[j] = validbits[j // 2] (host/XLA-side jnp.repeat): lane q's base
+    p = 16j + r lives in 32-base validity word p//32 == j//2, bit
+    p%32 == 16*(j&1) + r; NW is even (L % 32 == 0), so j&1 == q&1.
+    Requires L % 128 == 0: the shift network uses unmasked full-rotation
+    rolls (wrap garbage provably lands only at structurally invalid
+    lanes), and unmasked rolls on a non-128-multiple lane axis hit the
+    documented Mosaic miscompile (docs/design.md §11)."""
+    BB, NW = words.shape
+    L = NW * 16
+    roll_l = lambda x, t: pltpu.roll(x, shift=(L - t) % L, axis=1)
+
+    T = pltpu.repeat(words, repeats=16, axis=1)          # [BB, L]
+    TV = pltpu.repeat(vdup, repeats=16, axis=1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
+    r = (q // NW).astype(jnp.uint32)                     # 0..15
+    j_parity = (q & 1).astype(jnp.uint32)
+
+    # w16[q] = bases p..p+15 = (words[j] >> 2r) | (words[j+1] << 32-2r)
+    sh = 2 * r
+    W1 = roll_l(T, 1)                                    # words[j+1]
+    w16 = (T >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                W1 << ((jnp.uint32(32) - sh) &
+                                       jnp.uint32(31)))
+
+    # per-base validity bit: TV[q] = validbits[j//2], bit 16*(j&1) + r
+    v = (TV >> (16 * j_parity + r)) & jnp.uint32(1)
+
+    def shift_q(x, s: int):
+        """x at base p -> x at base p+s (1 <= s <= 15) in q-layout."""
+        a = roll_l(x, NW * s)                            # r < 16-s lanes
+        b = pltpu.roll(x, shift=L - 1 - NW * s, axis=1)  # r >= 16-s lanes
+        return jnp.where(r < jnp.uint32(16 - s), a, b)
+
+    # window words: lo = w16[p], hi = w16[p+16] = lane q+1
+    if k <= 16:
+        lo = w16 & jnp.uint32((1 << (2 * k)) - 1) if k < 16 else w16
+        hi = jnp.zeros_like(lo)
+    else:
+        lo = w16
+        hi = roll_l(w16, 1)
+        if k < 32:
+            hi = hi & jnp.uint32((1 << (2 * (k - 16))) - 1)
+
+    # k-window validity: log-doubling AND with q-space base shifts
+    # (k <= 31 so every step is 1..15, within shift_q's range)
+    vv = v
+    got = 1
+    while got < k:
+        step = got if got * 2 <= k else k - got
+        vv = vv & shift_q(vv, step)
+        got += step
+
+    # structural bound: window start p = 16*(q mod NW) + q//NW <= L-k
+    p = 16 * (q % NW) + q // NW
+    vv = vv & (p < L - k + 1).astype(jnp.uint32)
+    return hi, lo, vv
+
+
+def _folded_packed_kernel(words_ref, vdup_ref, key_hi_ref, key_lo_ref, *,
+                          k: int, seed: int, stage: str):
+    hi, lo, v = _packed_windows(words_ref[:], vdup_ref[:], k)
+    if stage != "pack":
+        hi, lo, v = _canon_hash_tail(hi, lo, v, k, seed, stage)
+    vmask = jnp.uint32(0) - v
+    key_hi_ref[:] = (hi & vmask) | ((v ^ jnp.uint32(1)) << 31)
+    key_lo_ref[:] = lo & vmask
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stage", "block_rows",
+                                             "interpret"))
+def pack_canonical_keys_packed(words: jnp.ndarray, validbits: jnp.ndarray,
+                               k: int, stage: str = "canon",
+                               block_rows: int = 256,
+                               interpret: bool = False):
+    """pack_canonical_keys starting from PACKED ingest ([B, L/16] uint32
+    code words + [B, L/32] validity bitmaps, io.fastx.read_packed_batches
+    layout): folded (key_hi, key_lo) [B, L] uint32, invalid flag in bit 31
+    of key_hi, 0.5 B/lane of input traffic instead of ASCII's 1.
+
+    OUTPUT LANE ORDER IS PERMUTED (q-layout): lane q of a row is the
+    window at base p = 16*(q % (L/16)) + q // (L/16).  Valid lanes are
+    bit-identical to the jnp packed path under that map; invalid lanes
+    are exactly (0x80000000, 0).  The counting consumer treats lanes as
+    an unordered multiset, so the permutation is free.
+
+    Constraints: 1 <= k <= 31, L % 128 == 0 (Mosaic unmasked-roll
+    alignment, docs/design.md §11), B % block_rows == 0.
+    """
+    assert 1 <= k <= 31, "bit 31 of hi must be structurally clear"
+    assert stage in ("pack", "canon")
+    B, NW = words.shape
+    L = NW * 16
+    assert L % 128 == 0, "q-space rolls need lane axis % 128 == 0"
+    assert validbits.shape == (B, NW // 2), (words.shape, validbits.shape)
+    vdup = jnp.repeat(validbits, 2, axis=-1)             # [B, NW]
+    bb = min(block_rows, B)
+    assert B % bb == 0, (B, bb)
+    spec_w = pl.BlockSpec((bb, NW), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_folded_packed_kernel, k=k, seed=0, stage=stage),
+        grid=(B // bb,),
+        in_specs=[spec_w, spec_w],
+        out_specs=(spec_o, spec_o),
+        out_shape=(out32, out32),
+        interpret=interpret,
+    )(words, vdup)
+
+
+def qspace_positions(L: int) -> "jnp.ndarray":
+    """p[q]: window base position of lane q in the packed kernel's output
+    layout (tests / any consumer that needs positions back)."""
+    import numpy as np
+
+    nw = L // 16
+    q = np.arange(L)
+    return 16 * (q % nw) + q // nw
 
 
 @functools.partial(jax.jit, static_argnames=("k", "stage", "block_rows",

@@ -57,10 +57,9 @@ def _shr_lanes(words, sh: int):
     return out
 
 
-def _window_wide_kernel(reads_ref, c0_ref, c1_ref, c2_ref, c3_ref,
-                        hash_hi_ref, hash_lo_ref, valid_ref,
-                        *, k: int, seed: int):
-    ascii_u8 = reads_ref[:]
+def _wide_body(ascii_u8, k: int):
+    """Shared on-chip pipeline: ASCII -> wide windows -> canonical +
+    validity.  Returns (canon [4 lanes, little-endian], valid01)."""
     BB, L = ascii_u8.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (BB, L), 1)
 
@@ -101,10 +100,6 @@ def _window_wide_kernel(reads_ref, c0_ref, c1_ref, c2_ref, c3_ref,
         eq = eq & (fw[j] == rc[j])
     canon = [jnp.where(fw_lt, a, b) for a, b in zip(fw, rc)]
 
-    # 128-bit mixer hash (core.u128.mix_hash)
-    inner_hi, inner_lo = _mix64(canon[3], canon[2], seed ^ 0xA5A5A5A5)
-    h_hi, h_lo = _mix64(canon[1] ^ inner_hi, canon[0] ^ inner_lo, seed)
-
     v = valid
     got = 1
     while got < k:
@@ -112,6 +107,17 @@ def _window_wide_kernel(reads_ref, c0_ref, c1_ref, c2_ref, c3_ref,
         v = v & _shift_left_roll(v, step, iota)
         got += step
     v = v & (iota < L - k + 1).astype(jnp.uint32)
+    return canon, v
+
+
+def _window_wide_kernel(reads_ref, c0_ref, c1_ref, c2_ref, c3_ref,
+                        hash_hi_ref, hash_lo_ref, valid_ref,
+                        *, k: int, seed: int):
+    canon, v = _wide_body(reads_ref[:], k)
+
+    # 128-bit mixer hash (core.u128.mix_hash)
+    inner_hi, inner_lo = _mix64(canon[3], canon[2], seed ^ 0xA5A5A5A5)
+    h_hi, h_lo = _mix64(canon[1] ^ inner_hi, canon[0] ^ inner_lo, seed)
 
     c0_ref[:] = canon[0]
     c1_ref[:] = canon[1]
@@ -120,6 +126,51 @@ def _window_wide_kernel(reads_ref, c0_ref, c1_ref, c2_ref, c3_ref,
     hash_hi_ref[:] = h_hi
     hash_lo_ref[:] = h_lo
     valid_ref[:] = v.astype(jnp.uint8)
+
+
+def _folded_wide_kernel(reads_ref, k3_ref, k2_ref, k1_ref, k0_ref,
+                        *, k: int):
+    """Counting-consumer emission for wide keys: 4 uint32 planes with the
+    INVALID flag folded into bit 31 of the most-significant lane
+    (structurally clear for k <= 63: c3 holds at most 2k-96 <= 30 bits) --
+    exactly count.UnitTableWide's layout (invalid lanes are
+    (0x80000000, 0, 0, 0)).  16 B/lane out vs the full kernel's 26."""
+    canon, v = _wide_body(reads_ref[:], k)
+    vmask = jnp.uint32(0) - v
+    k3_ref[:] = (canon[3] & vmask) | ((v ^ jnp.uint32(1)) << 31)
+    k2_ref[:] = canon[2] & vmask
+    k1_ref[:] = canon[1] & vmask
+    k0_ref[:] = canon[0] & vmask
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def pack_canonical_keys_wide(reads: jnp.ndarray, k: int,
+                             block_rows: int = 128,
+                             interpret: bool = False):
+    """Counting-consumer variant of the wide window kernel (33 <= k <= 63,
+    VERDICT r4 item 4): returns (k3, k2, k1, k0) [B, L] uint32 -- the
+    canonical 128-bit word's little-endian lanes (k3 most significant)
+    with the INVALID flag folded into bit 31 of k3, i.e. exactly the
+    spare-bit layout of count.sort_by_word_wide(spare_hi_bit=True) /
+    count.UnitTableWide (keys.hi.hi = k3, hi.lo = k2, lo.hi = k1,
+    lo.lo = k0).  16 B/lane of output vs the full kernel's 26; invalid
+    lanes are exactly (0x80000000, 0, 0, 0)."""
+    assert 33 <= k <= 63, "bit 31 of the top lane must be clear"
+    B, L = reads.shape
+    bb = min(block_rows, B)
+    assert B % bb == 0
+    spec = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out32 = jax.ShapeDtypeStruct((B, L), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_folded_wide_kernel, k=k),
+        grid=(B // bb,),
+        in_specs=[spec],
+        out_specs=(spec,) * 4,
+        out_shape=(out32,) * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(reads)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seed", "block_rows",

@@ -79,6 +79,23 @@ def _folded_kernel_ok(reads: jnp.ndarray, k: int) -> bool:
         return False
 
 
+def _folded_packed_kernel_ok(words: jnp.ndarray, k: int) -> bool:
+    """Whether the fused packed-ingest Pallas kernel can serve this
+    unit-mode batch: TPU backend, k <= 31, L % 128 == 0 (the kernel's
+    unmasked-roll alignment constraint), batch divisible into blocks."""
+    if not (1 <= k <= 31) or words.dtype != jnp.uint32:
+        return False
+    B, NW = words.shape
+    if (NW * 16) % 128 != 0 or NW % 2 != 0:
+        return False
+    if B % min(256, B) != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
 def _count_metrics(n_reads: int, n_win: int, emitted) -> Dict[str, jnp.ndarray]:
     return {
         "reads": jnp.int32(n_reads),
@@ -145,15 +162,32 @@ def count_reads_packed(words: jnp.ndarray, validbits: jnp.ndarray,
     packed-ingest kernel (kernels/window.pack_canonical_keys_packed)."""
     k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
+    n_win = words.shape[-1] * 16 - k + 1
+    if mode == "unit":
+        assert 1 <= k <= 31
+        if _folded_packed_kernel_ok(words, k):
+            # fused Pallas packed-ingest kernel: 0.5 B/lane input, folded
+            # keys out.  Output lanes are in the kernel's q-layout (a
+            # permutation of window positions) -- the unit table is an
+            # unordered multiset, so no un-permute is paid.
+            from ..kernels import window as kwin
+
+            kh, kl = kwin.pack_canonical_keys_packed(words, validbits, k)
+            table = count_ops.UnitTable(keys=U64(kh, kl))
+            emitted = ((kh >> 31) == 0).sum(dtype=jnp.int32)
+        else:
+            win = kmer_ops.kmer_windows_packed(words, validbits, k)
+            canon = kmer_ops.canonical_word(win.fw, win.rc)
+            table = count_ops.unit_table(canon, win.valid)
+            emitted = win.valid.sum().astype(jnp.int32)
+        return CountResult(
+            table=table,
+            metrics=_count_metrics(words.shape[0], n_win, emitted))
     win = kmer_ops.kmer_windows_packed(words, validbits, k)
     canon = kmer_ops.canonical_word(win.fw, win.rc)
     emitted = win.valid.sum().astype(jnp.int32)
-    if mode == "unit":
-        assert 1 <= k <= 31
-        table = count_ops.unit_table(canon, win.valid)
-    else:
-        table = count_ops.count_words(canon, win.valid, max_k=k,
-                                      compact=mode == "compact")
+    table = count_ops.count_words(canon, win.valid, max_k=k,
+                                  compact=mode == "compact")
     return CountResult(
         table=table,
         metrics=_count_metrics(words.shape[0], win.n_windows, emitted))
@@ -313,6 +347,19 @@ def canonical_kmers_wide(reads: jnp.ndarray, k: int):
     return kmer_ops.canonical_word_wide(win.fw, win.rc), win.valid
 
 
+def _folded_wide_kernel_ok(reads: jnp.ndarray, k: int) -> bool:
+    """Whether the fused wide folded-key Pallas kernel can serve this
+    unit-mode batch: TPU backend, 33 <= k <= 63, blocks divide the batch."""
+    if not (33 <= k <= 63) or reads.dtype != jnp.uint8:
+        return False
+    if reads.shape[0] % min(128, reads.shape[0]) != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
 def count_reads_wide(reads: jnp.ndarray, k=None, compact: bool = True,
                      aggregate: Optional[str] = None,
                      spec: Optional[KmerSpec] = None) -> CountResult:
@@ -321,15 +368,29 @@ def count_reads_wide(reads: jnp.ndarray, k=None, compact: bool = True,
     flag bit in hi.hi)."""
     k = _resolve_k(k, spec)
     mode = _resolve_aggregate(compact, aggregate)
-    canon, valid = canonical_kmers_wide(reads, k)
-    emitted = valid.sum().astype(jnp.int32)
+    n_win = reads.shape[-1] - k + 1
     if mode == "unit":
         assert 33 <= k <= 63
-        table = count_ops.unit_table_wide(canon, valid)
-    else:
-        table = count_ops.count_words_wide(canon, valid, max_k=k,
-                                           compact=mode == "compact")
-    n_win = reads.shape[-1] - k + 1
+        if _folded_wide_kernel_ok(reads, k):
+            # fused Pallas wide folded-key kernel: 16 B/lane out, flag in
+            # bit 31 of the top lane = UnitTableWide's exact layout
+            from ..kernels import window_wide as kww
+
+            k3, k2, k1, k0 = kww.pack_canonical_keys_wide(reads, k)
+            table = count_ops.UnitTableWide(
+                keys=U128(U64(k3, k2), U64(k1, k0)))
+            emitted = ((k3 >> 31) == 0).sum(dtype=jnp.int32)
+        else:
+            canon, valid = canonical_kmers_wide(reads, k)
+            table = count_ops.unit_table_wide(canon, valid)
+            emitted = valid.sum().astype(jnp.int32)
+        return CountResult(
+            table=table,
+            metrics=_count_metrics(reads.shape[0], n_win, emitted))
+    canon, valid = canonical_kmers_wide(reads, k)
+    emitted = valid.sum().astype(jnp.int32)
+    table = count_ops.count_words_wide(canon, valid, max_k=k,
+                                       compact=mode == "compact")
     return CountResult(
         table=table, metrics=_count_metrics(reads.shape[0], n_win, emitted))
 

@@ -84,6 +84,56 @@ def test_pack_canonical_keys_matches_jnp(stage, k):
     assert int(np.asarray(sv).sum()) == v.sum()
 
 
+@pytest.mark.parametrize("stage", ["pack", "canon"])
+@pytest.mark.parametrize("k,L", [(5, 128), (15, 256), (16, 256), (17, 256),
+                                 (21, 1024), (31, 256)])
+def test_pack_canonical_keys_packed_matches_jnp(stage, k, L):
+    """Packed-ingest folded kernel (VERDICT r4 item 3): starts from the
+    read_packed_batches layout, emits the folded spare-bit keys in the
+    documented q-layout (a fixed permutation of window positions)."""
+    from kmers_tpu.io.fastx import pack_batch_np
+
+    B = 8
+    reads = make_reads(B, L)
+    words, vbits = (jnp.asarray(a) for a in pack_batch_np(np.asarray(reads)))
+    key_hi, key_lo = kwin.pack_canonical_keys_packed(
+        words, vbits, k, stage=stage, block_rows=8, interpret=True)
+    key_hi, key_lo = np.asarray(key_hi), np.asarray(key_lo)
+    win = kmer_ops.kmer_windows_packed(words, vbits, k)
+    want = (kmer_ops.canonical_word(win.fw, win.rc) if stage == "canon"
+            else win.fw)
+    p_of_q = kwin.qspace_positions(L)
+    v = np.asarray(win.valid)[:, p_of_q]
+    got_valid = (key_hi >> 31) == 0
+    np.testing.assert_array_equal(got_valid, v)
+    np.testing.assert_array_equal(key_hi[v], np.asarray(want.hi)[:, p_of_q][v])
+    np.testing.assert_array_equal(key_lo[v], np.asarray(want.lo)[:, p_of_q][v])
+    assert (key_hi[~v] == 0x80000000).all() and (key_lo[~v] == 0).all()
+
+
+def test_count_reads_packed_unit_table_exact():
+    """The packed unit path (kernel or jnp) produces the same counted
+    table as the ASCII path after a merge -- the CLI-default invariant."""
+    from kmers_tpu.parallel import count as count_ops
+    from kmers_tpu.parallel import pipeline
+    from kmers_tpu.io.fastx import pack_batch_np
+
+    k, B, L = 21, 8, 256
+    reads = make_reads(B, L)
+    words, vbits = (jnp.asarray(a) for a in pack_batch_np(np.asarray(reads)))
+    res_p = pipeline.count_reads_packed(words, vbits, k, aggregate="unit")
+    res_a = pipeline.count_reads(reads, k, aggregate="unit")
+    tp = count_ops.merge_many([res_p.table], max_k=k)
+    ta = count_ops.merge_many([res_a.table], max_k=k)
+    assert int(res_p.metrics["kmers_emitted"]) == int(
+        res_a.metrics["kmers_emitted"])
+    nu = int(ta.n_unique)
+    assert int(tp.n_unique) == nu
+    for a, b in ((tp.keys.hi, ta.keys.hi), (tp.keys.lo, ta.keys.lo),
+                 (tp.counts, ta.counts)):
+        np.testing.assert_array_equal(np.asarray(a)[:nu], np.asarray(b)[:nu])
+
+
 from kmers_tpu.kernels import minimizer as kmini
 from kmers_tpu.ops import hash as hash_ops
 from kmers_tpu.ops import minimizer as mini_ops
@@ -146,3 +196,45 @@ def test_window_wide_kernel_matches_jnp(k):
     np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(h.lo))
     np.testing.assert_array_equal(np.asarray(got[6]).astype(bool),
                                   np.asarray(win.valid))
+
+
+@pytest.mark.parametrize("k", [33, 48, 63])
+def test_pack_canonical_keys_wide_matches_jnp(k):
+    """Wide folded-key kernel (VERDICT r4 item 4): UnitTableWide's exact
+    spare-bit layout, valid lanes bit-identical to the jnp wide path,
+    invalid lanes exactly (0x80000000, 0, 0, 0)."""
+    B, L = 8, 256
+    reads = make_reads(B, L)
+    k3, k2, k1, k0 = (np.asarray(x) for x in kww.pack_canonical_keys_wide(
+        reads, k, block_rows=8, interpret=True))
+    win = kmer_ops.kmer_windows_wide(reads, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    v = np.asarray(win.valid)
+    np.testing.assert_array_equal((k3 >> 31) == 0, v)
+    for got, want in ((k3, canon.hi.hi), (k2, canon.hi.lo),
+                      (k1, canon.lo.hi), (k0, canon.lo.lo)):
+        np.testing.assert_array_equal(got[v], np.asarray(want)[v])
+    assert (k3[~v] == 0x80000000).all()
+    for got in (k2, k1, k0):
+        assert (got[~v] == 0).all()
+
+
+def test_count_reads_wide_unit_table_exact():
+    """The wide unit path (kernel or jnp) merges to the same table as the
+    compact wide path."""
+    from kmers_tpu.parallel import count as count_ops
+    from kmers_tpu.parallel import pipeline
+
+    k, B, L = 47, 8, 256
+    reads = make_reads(B, L)
+    res_u = pipeline.count_reads_wide(reads, k, aggregate="unit")
+    tu = count_ops.merge_many_wide([res_u.table], max_k=k)
+    tc = pipeline.count_reads_wide(reads, k, aggregate="compact").table
+    nu = int(tc.n_unique)
+    assert int(tu.n_unique) == nu
+    for a, b in ((tu.keys.hi.hi, tc.keys.hi.hi),
+                 (tu.keys.hi.lo, tc.keys.hi.lo),
+                 (tu.keys.lo.hi, tc.keys.lo.hi),
+                 (tu.keys.lo.lo, tc.keys.lo.lo),
+                 (tu.counts, tc.counts)):
+        np.testing.assert_array_equal(np.asarray(a)[:nu], np.asarray(b)[:nu])

@@ -457,3 +457,65 @@ def test_count_words_wide_runlength_form_equivalent():
         u128mod.to_python_ints(t_c.keys)[:nu]
     assert np.asarray(m.counts)[:nu].tolist() == \
         np.asarray(t_c.counts)[:nu].tolist()
+
+
+def test_bucket_slices_loop_form_matches_unrolled(monkeypatch):
+    """VERDICT r4 item 6: the pod-scale fori_loop form of _bucket_slices
+    is byte-identical to the unrolled per-destination slices."""
+    rng = np.random.default_rng(5)
+    n, d, cap = 4096, 32, 64
+    arrs = [jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+            for _ in range(3)]
+    counts = rng.multinomial(n, np.ones(d) / d)
+    starts = jnp.asarray(np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]).astype(np.int32))
+    out_loop = route_ops._bucket_slices(arrs, starts, cap, cap)(cap // 2)
+    monkeypatch.setattr(route_ops, "_UNROLL_MAX_D", 1 << 30)
+    out_unroll = route_ops._bucket_slices(arrs, starts, cap, cap)(cap // 2)
+    for a, b in zip(out_loop, out_unroll):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n_dev", [64, 256])
+def test_sharded_counter_compiles_at_pod_scale(n_dev):
+    """Trace+compile make_sharded_counter at D=64 / D=256 with a graph
+    sublinear in D (the fori_loop slice form): runs in a subprocess
+    because the virtual device count is fixed at backend init."""
+    import subprocess
+    import sys
+
+    code = f"NDEV = {n_dev}\n" + """
+import numpy as np
+import jax, jax.numpy as jnp
+# sitecustomize may have pinned a real-TPU platform at interpreter start
+# (tests/conftest.py's recipe): re-point at CPU and drop any backend
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+    clear_backends()
+except Exception:
+    pass
+from kmers_tpu.parallel import mesh as mesh_ops, pipeline, route
+m = mesh_ops.make_mesh(NDEV)
+fn = pipeline.make_sharded_counter(m, 15, route_capacity=32,
+                                   aggregate="unit")
+reads = jnp.asarray(np.frombuffer(
+    b"ACGT" * 16 * NDEV, dtype=np.uint8).reshape(NDEV, 64))
+lowered = fn.lower(jax.device_put(reads, mesh_ops.batch_sharding(m)))
+text = lowered.as_text()
+n_dyn = text.count("dynamic_slice")
+# unrolled form would carry >= 2 * 64 dynamic slices; the loop form
+# keeps a handful (inside one while-loop body)
+assert n_dyn < 40, n_dyn
+lowered.compile()
+print("OK", n_dyn)
+"""
+    import os
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS":
+           f"--xla_force_host_platform_device_count={n_dev}"}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout

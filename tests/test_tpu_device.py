@@ -71,6 +71,33 @@ def test_folded_keys_kernel_compiled():
     assert (kh[~valid] == 0x80000000).all() and (kl[~valid] == 0).all()
 
 
+def test_packed_ingest_kernel_compiled():
+    """The packed-ingest folded kernel's actual Mosaic lowering (tile-
+    repeat + q-space roll network) vs the jnp packed path -- this kernel
+    leans hardest on pltpu.roll/repeat, the op family that miscompiled
+    in round 4 (docs/design.md §11), so the on-device check is load-
+    bearing, not ceremony."""
+    from kmers_tpu.io.fastx import pack_batch_np
+    from kmers_tpu.kernels import window as kwin
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    k, B, L = 31, 256, 256
+    reads = rand_reads(B, L)
+    words, vbits = (jnp.asarray(a) for a in pack_batch_np(np.asarray(reads)))
+    kh, kl = (np.asarray(x) for x in
+              kwin.pack_canonical_keys_packed(words, vbits, k))
+    win = kmer_ops.kmer_windows_packed(words, vbits, k)
+    canon = kmer_ops.canonical_word(win.fw, win.rc)
+    p_of_q = kwin.qspace_positions(L)
+    valid = np.asarray(win.valid)[:, p_of_q]
+    np.testing.assert_array_equal((kh >> 31) == 0, valid)
+    np.testing.assert_array_equal(kh[valid],
+                                  np.asarray(canon.hi)[:, p_of_q][valid])
+    np.testing.assert_array_equal(kl[valid],
+                                  np.asarray(canon.lo)[:, p_of_q][valid])
+    assert (kh[~valid] == 0x80000000).all() and (kl[~valid] == 0).all()
+
+
 def test_wide_window_kernel_compiled():
     from kmers_tpu.core import u128 as u128mod
     from kmers_tpu.kernels import window_wide as kww
@@ -88,6 +115,26 @@ def test_wide_window_kernel_compiled():
     for got, want in zip(out[:6], wants):
         np.testing.assert_array_equal(np.asarray(got)[valid],
                                       np.asarray(want)[valid])
+
+
+def test_wide_folded_keys_kernel_compiled():
+    from kmers_tpu.kernels import window_wide as kww
+    from kmers_tpu.ops import kmer as kmer_ops
+
+    k = 47
+    reads = rand_reads(128, 160)
+    k3, k2, k1, k0 = (np.asarray(x) for x in
+                      kww.pack_canonical_keys_wide(reads, k))
+    win = kmer_ops.kmer_windows_wide(reads, k)
+    canon = kmer_ops.canonical_word_wide(win.fw, win.rc)
+    v = np.asarray(win.valid)
+    np.testing.assert_array_equal((k3 >> 31) == 0, v)
+    for got, want in ((k3, canon.hi.hi), (k2, canon.hi.lo),
+                      (k1, canon.lo.hi), (k0, canon.lo.lo)):
+        np.testing.assert_array_equal(got[v], np.asarray(want)[v])
+    assert (k3[~v] == 0x80000000).all()
+    for got in (k2, k1, k0):
+        assert (got[~v] == 0).all()
 
 
 def test_minimizer_kernel_compiled():
