@@ -387,6 +387,13 @@ def minimizer_ablation():
          "32-bit selection order (core.u64.mix32_order): half the scan's "
          "compare planes; bit-exact vs the jnp mix32 path "
          "(tests/test_kernels.py)")
+    # mix16 packed order (round 5): (order16 << 12) | pos in ONE compare
+    # plane -- pos stops being a carried payload
+    r16 = benchlib.chain_rate(arm("full", order="mix16"), reads0, n)
+    emit("minimizer_full_mix16_k31_w11", r16, "kmers/s",
+         "packed 16-bit order + in-key position (hash.mix16_hash_fn): "
+         "one fewer carried plane; deque-equivalent "
+         "(tests/test_kernels.py)")
 
 
 def superkmer_bench():
@@ -443,7 +450,8 @@ def streaming_sustained():
     from kmers_tpu.parallel import count as count_ops
     from kmers_tpu.parallel import count_reads
     from kmers_tpu.parallel.count import CountTable, UnitTable
-    from kmers_tpu.parallel.stream import _merge_bounded
+    from kmers_tpu.parallel.stream import (_merge_bounded,
+                                           _merge_bounded_streaming)
 
     B5, L5 = (512, 256) if QUICK else (4096, 256)
     ME = 4 if QUICK else 16           # merge_every
@@ -457,7 +465,7 @@ def streaming_sustained():
         x = x * jnp.uint32(0x846CA68B)
         return x ^ (x >> 16)
 
-    def make_step(space_bits: int):
+    def make_step(space_bits: int, fast: bool):
         lo_mask = jnp.uint32((1 << min(space_bits, 32)) - 1)
         hi_bits = max(space_bits - 32, 0)
         hi_mask = jnp.uint32((1 << hi_bits) - 1)   # < bit 31: flag stays clear
@@ -471,7 +479,10 @@ def streaming_sustained():
                     mix32(base ^ jnp.uint32((0x9E3779B9 * (i + 1))
                                             & 0xFFFFFFFF)) & lo_mask))
                 for i in range(ME))
-            out, _, _ = _merge_bounded(table, pending, CAP, max_k=31)
+            if fast:
+                out, _, _ = _merge_bounded_streaming(table, pending, CAP)
+            else:
+                out, _, _ = _merge_bounded(table, pending, CAP, max_k=31)
             return out
 
         return step
@@ -479,16 +490,27 @@ def streaming_sustained():
     z = jnp.zeros(CAP, dtype=jnp.uint32)
     table0 = CountTable(keys=U64(z, z), counts=jnp.zeros(CAP, jnp.int32),
                         n_unique=jnp.int32(0))
-    # noevict: ME*lanes draws from a space_bits space; distinct << CAP
+    # noevict: ME*lanes draws from a space_bits space; distinct << CAP.
+    # "fast" = what StreamingCounter actually dispatches on TPU since
+    # round 5 (Pallas merge+compress); "sorts" = the round-4 reference
+    # path, kept measured for the A/B record.
+    ne_bits = max(CAP.bit_length() - 3, 16)
     sec_ne = benchlib.chain_seconds_per_iter(
-        make_step(space_bits=max(CAP.bit_length() - 3, 16)), table0,
+        make_step(ne_bits, fast=True), table0,
         s_short=2, s_long=10, rounds=4)
     emit("consolidate_noevict", sec_ne * 1e3, "ms/merge",
-         f"capacity {CAP}, {ME} pending x {lanes} lanes, free-slice path")
+         f"capacity {CAP}, {ME} pending x {lanes} lanes, Pallas "
+         "merge+compress fast path (the round-5 default)")
+    sec_ne_sort = benchlib.chain_seconds_per_iter(
+        make_step(ne_bits, fast=False), table0,
+        s_short=2, s_long=10, rounds=4)
+    emit("consolidate_noevict_sortpath", sec_ne_sort * 1e3, "ms/merge",
+         "round-4 sort-based reference path (KMERS_TPU_STREAM_MERGE=0)")
     sec_ev = benchlib.chain_seconds_per_iter(
-        make_step(space_bits=60), table0, s_short=2, s_long=10, rounds=4)
+        make_step(60, fast=True), table0, s_short=2, s_long=10, rounds=4)
     emit("consolidate_evict", sec_ev * 1e3, "ms/merge",
-         "saturated table, rank-evict every merge")
+         "saturated table, rank-evict every merge (fast merged table + "
+         "eviction sorts)")
 
     def cfg5u(reads):
         res = count_reads(reads, 31, aggregate="unit")

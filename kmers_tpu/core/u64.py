@@ -252,3 +252,31 @@ def mix32_order(a: U64, seed: int = 0) -> U64:
     s_lo = u32(seed & U32_MASK)
     return U64(jnp.zeros_like(a.lo),
                _mix32(a.lo ^ _mix32(a.hi ^ s_lo)))
+
+
+def feistel_mix(a: U64, seed: int = 0, rounds: int = 3) -> U64:
+    """BIJECTIVE 64-bit mixer (3-round Feistel over _mix32): the routing
+    key transform of parallel.route.
+
+    Why a bijection (round 5): the owning shard used to be
+    mul_shift(mix_hash(key).hi, D), which made the partition sort carry
+    THREE operands (owner, key_hi, key_lo).  With an invertible mix the
+    owner is a PREFIX of the mixed key itself -- the partition sorts just
+    (f_hi, f_lo), owners fall out of the sorted prefix by binary search,
+    the mixed words ship over the all_to_all, and the receiver inverts
+    (feistel_unmix) to recover the exact keys.  One fewer sort operand on
+    the routing hot path, zero information loss."""
+    hi, lo = a.hi, a.lo
+    for r in range(rounds):
+        hi, lo = lo, hi ^ _mix32(lo + u32((seed + 0x9E3779B9 * (r + 1))
+                                          & U32_MASK))
+    return U64(hi, lo)
+
+
+def feistel_unmix(a: U64, seed: int = 0, rounds: int = 3) -> U64:
+    """Inverse of feistel_mix (exact, elementwise)."""
+    hi, lo = a.hi, a.lo
+    for r in reversed(range(rounds)):
+        hi, lo = lo ^ _mix32(hi + u32((seed + 0x9E3779B9 * (r + 1))
+                                      & U32_MASK)), hi
+    return U64(hi, lo)

@@ -1,0 +1,461 @@
+"""Pallas TPU kernels for the streaming consolidation (VERDICT r4 item 1).
+
+The round-4 consolidation re-sorted capacity + pending lanes from scratch
+every merge (two full `lax.sort`s, 105 ms each at 25 M lanes -- measured
+round 5), even though the main table is ALREADY sorted and the pending
+lanes only need one cheap sort of their own.  These kernels replace both
+big sorts with single streaming passes at HBM bandwidth:
+
+  merge_sorted     merge-path merge of the sorted table (3 planes:
+                   key_hi, key_lo, weight) with the sorted pending keys
+                   (2 planes; weight == 1 derived from the folded flag
+                   bit) -> one sorted (key_hi, key_lo, weight) array.
+                   ~36 B/lane of HBM traffic instead of a 105 ms sort.
+  compress_flagged stable-compact the flagged (run-start) lanes of a
+                   sorted array to the front, carrying one payload plane
+                   -- replaces the second full sort (the compaction) with
+                   a read-once/write-once pass.
+
+Design constraints honored (kernels/sort.py round-3 post-mortem +
+docs/design.md §11): static strides only, no sublane rolls on
+non-8-multiple row counts (all cross-row shifts are static slices +
+concat), lane-axis rolls only at width exactly 128, small unrolled
+networks (14 stages, not 171).
+
+merge_sorted correctness sketch (merge path, Green et al.):
+  * tile boundaries d_t = t*TILE are split by binary search into
+    (a_t, b_t) with a_t + b_t = d_t and key(A[a_t-1]) <= key(B[b_t])
+    under the composite order (key, source-index) -- A-first on ties.
+  * output tile t is exactly the multiset A[a_t..a_{t+1}) u
+    B[b_t..b_{t+1}); both windows fit in TILE lanes, so sorting the
+    2*TILE window [A[a_t..a_t+TILE) asc, B-window desc] (a bitonic
+    sequence) and keeping the first TILE lanes yields the tile.
+  * the composite tie-break (a uint32 source-index plane, A < B) makes
+    every element distinct, so tiles partition the multiset exactly even
+    when equal keys straddle a boundary (weights differ among equal
+    keys; without the tie-break a weight could be duplicated/lost).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _le_u64(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al <= bl))
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_plane_2d(x: jnp.ndarray, total: int, fill: int) -> jnp.ndarray:
+    """1D uint32 -> [total/LANES, LANES] with `fill` padding."""
+    pad = total - x.shape[0]
+    x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(total // LANES, LANES)
+
+
+def _rows_from(x: jnp.ndarray, base: int, r_out: int) -> jnp.ndarray:
+    """x[base : base+r_out] rows, zero-padded past the end (static base)."""
+    R = x.shape[0]
+    lo = x[base:, :] if base < R else x[:0, :]
+    need = r_out - lo.shape[0]
+    if need > 0:
+        lo = jnp.concatenate([lo, jnp.zeros((need, LANES), x.dtype)], axis=0)
+    return lo[:r_out]
+
+
+def _shift_linear_down(x: jnp.ndarray, S: int, R_out: int) -> jnp.ndarray:
+    """out[lin] = x[lin + S] on a row-major [R, LANES] array (static S),
+    returning R_out rows; out-of-range source lanes are zeros.  No
+    sublane rolls: cross-row movement is static slices + concat; the
+    lane-level rotation is a static pltpu.roll on the (exactly 128-wide,
+    Mosaic-safe) lane axis."""
+    m, s = divmod(S, LANES)
+    if s == 0:
+        return _rows_from(x, m, R_out)
+    y = pltpu.roll(x, shift=LANES - s, axis=1)      # y[r, l] = x[r, (l+s)%128]
+    ya = _rows_from(y, m, R_out)
+    yb = _rows_from(y, m + 1, R_out)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R_out, LANES), 1)
+    return jnp.where(lane < LANES - s, ya, yb)
+
+
+def _xor_partner(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """p[i] = x[i ^ s] on a row-major [R, LANES] array (static stride s).
+
+    s < LANES: lane-axis XOR via two static lane rolls + select (lane
+    axis width is exactly 128 -- the Mosaic-safe case).
+    s >= LANES: row XOR m = s/LANES via static row slices + concat
+    (rows with row&m==0 read row+m, others row-m; both in-bounds)."""
+    R = x.shape[0]
+    if s < LANES:
+        left = pltpu.roll(x, shift=LANES - s, axis=1)    # x[r, l+s]
+        right = pltpu.roll(x, shift=s, axis=1)           # x[r, l-s]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where((lane & s) == 0, left, right)
+    m = s // LANES
+    down = jnp.concatenate([x[m:], x[:m]], axis=0)       # x[row+m] (junk wrap)
+    up = jnp.concatenate([x[R - m:], x[:R - m]], axis=0)  # x[row-m]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where((row & m) == 0, down, up)
+
+
+def _bitonic_merge_4(hi, lo, w, idx, n2: int):
+    """Sort a bitonic [R2, LANES] sequence (R2*LANES = n2 lanes) by the
+    strictly-distinct composite key (hi, lo, idx), carrying w.  log2(n2)
+    compare-exchange stages, static strides.
+
+    The composite key is distinct across lanes, so the up-lane of every
+    pair keeps the strict minimum and the down-lane the strict maximum --
+    complementary selections, no tie ambiguity."""
+    lin = (jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1))
+    s = n2 // 2
+    while s >= 1:
+        p_hi = _xor_partner(hi, s)
+        p_lo = _xor_partner(lo, s)
+        p_w = _xor_partner(w, s)
+        p_idx = _xor_partner(idx, s)
+        lt = ((hi < p_hi) | ((hi == p_hi) &
+                            ((lo < p_lo) | ((lo == p_lo) & (idx < p_idx)))))
+        is_up = (lin & s) == 0
+        keep_self = is_up == lt      # up keeps self iff smaller; down iff larger
+        hi = jnp.where(keep_self, hi, p_hi)
+        lo = jnp.where(keep_self, lo, p_lo)
+        w = jnp.where(keep_self, w, p_w)
+        idx = jnp.where(keep_self, idx, p_idx)
+        s //= 2
+    return hi, lo, w, idx
+
+
+def _window_extract(vbuf: jnp.ndarray, off, RW: int) -> jnp.ndarray:
+    """First TILE lanes starting at dynamic in-row offset `off` (0..127)
+    of a [RW+1, LANES] DMA landing buffer: one dynamic lane roll + static
+    slices (no sublane rolls)."""
+    sh = jax.lax.rem(LANES - off, LANES)
+    y = pltpu.roll(vbuf, shift=sh, axis=1)           # y[r, l] = x[r, (l+off)%128]
+    ya = y[:RW]
+    yb = y[1:RW + 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 1)
+    return jnp.where(lane < LANES - off, ya, yb)
+
+
+def _merge_kernel(a_start_ref, b_fs_ref,
+                  a_hi_ref, a_lo_ref, a_w_ref, bf_hi_ref, bf_lo_ref,
+                  out_hi_ref, out_lo_ref, out_w_ref,
+                  va_hi, va_lo, va_w, vb_hi, vb_lo, sems,
+                  *, tile: int, n_a: int, n_b: int):
+    RW = tile // LANES
+    t = pl.program_id(0)
+    a0 = a_start_ref[t]
+    fs = b_fs_ref[t]
+
+    def dma(src, dst, start, slot):
+        # row count RW + 8: Mosaic's HBM<->VMEM DMA faults on row counts
+        # that are not multiples (or divisors) of the 8-sublane tile --
+        # measured on v5e: 2/4/8/16-row copies are exact at ARBITRARY row
+        # offsets, 6/9-row copies crash the worker.  Only the first RW+1
+        # rows are consumed.
+        cp = pltpu.make_async_copy(
+            src.at[pl.ds(start // LANES, RW + 8), :], dst, sems.at[slot])
+        cp.start()
+        return cp
+
+    cps = [dma(a_hi_ref, va_hi, a0, 0), dma(a_lo_ref, va_lo, a0, 1),
+           dma(a_w_ref, va_w, a0, 2), dma(bf_hi_ref, vb_hi, fs, 3),
+           dma(bf_lo_ref, vb_lo, fs, 4)]
+    for cp in cps:
+        cp.wait()
+
+    a_off = jax.lax.rem(a0, LANES)
+    b_off = jax.lax.rem(fs, LANES)
+    wa_hi = _window_extract(va_hi[:], a_off, RW)
+    wa_lo = _window_extract(va_lo[:], a_off, RW)
+    wa_w = _window_extract(va_w[:], a_off, RW)
+    wb_hi = _window_extract(vb_hi[:], b_off, RW)
+    wb_lo = _window_extract(vb_lo[:], b_off, RW)
+
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 1))
+    # composite tie-break index: A = global A position (bit 31 clear for
+    # real lanes; pad lanes are key-sentinel anyway), B = 0x80000000 + b
+    # (b ascending = the merge-path index order).  B window is in FLIPPED
+    # coords: global flipped pos = fs + lin; b = (PF + n_b - 1) - that.
+    idx_a = (a0 + lin).astype(jnp.uint32)
+    pf = tile
+    b_of_lin = (pf + n_b - 1) - (fs + lin)
+    idx_b = jnp.uint32(1 << 31) + b_of_lin.astype(jnp.uint32)
+    wb_w = (wb_hi >> 31) ^ jnp.uint32(1)     # folded-flag weight (pads: 0)
+
+    hi = jnp.concatenate([wa_hi, wb_hi], axis=0)
+    lo = jnp.concatenate([wa_lo, wb_lo], axis=0)
+    w = jnp.concatenate([wa_w, wb_w], axis=0)
+    idx = jnp.concatenate([idx_a, idx_b], axis=0)
+
+    s_hi, s_lo, s_w, _ = _bitonic_merge_4(hi, lo, w, idx, 2 * tile)
+    out_hi_ref[:] = s_hi[:RW]
+    out_lo_ref[:] = s_lo[:RW]
+    out_w_ref[:] = s_w[:RW]
+
+
+def _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile: int, n_out: int):
+    """Vectorized merge-path boundary search: for each tile boundary
+    d_t = t*tile, the largest a with key(A[a-1]) <= key(B[d-a]) (A-first
+    ties), a in [max(0, d-nB), min(d, nA)].  Returns a_starts [T] i32."""
+    n_a, n_b = a_hi.shape[0], b_hi.shape[0]
+    T = n_out // tile
+    d = jnp.arange(T, dtype=jnp.int32) * tile
+    lo_b = jnp.maximum(0, d - n_b)
+    hi_b = jnp.minimum(d, n_a)
+    steps = max(1, int(n_a).bit_length())
+    for _ in range(steps):
+        mid = (lo_b + hi_b + 1) // 2
+        ai = jnp.clip(mid - 1, 0, n_a - 1)
+        bi = jnp.clip(d - mid, 0, max(n_b - 1, 0))
+        ok = _le_u64(a_hi[ai], a_lo[ai], b_hi[bi], b_lo[bi])
+        ok = ok | (mid - 1 < 0)                  # A[-1] = -inf
+        ok = ok | (d - mid >= n_b)               # B[>=nB] = +inf
+        take = ok & (mid <= hi_b)
+        lo_b = jnp.where(take, mid, lo_b)
+        hi_b = jnp.where(take, hi_b, mid - 1)
+    return lo_b
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 8192,
+                 interpret: bool = False):
+    """Merge sorted A (key_hi, key_lo, weight-u32) with sorted B
+    (key_hi, key_lo in the folded spare-bit layout: bit 31 of hi set =
+    dead lane, weight = flag^1) into one sorted (hi, lo, w) of length
+    round_up(nA+nB, tile); tail pad lanes are (0xFFFFFFFF, 0xFFFFFFFF, 0).
+
+    Both inputs must be ascending by (hi, lo) with dead/sentinel lanes
+    (bit 31 of hi set) sorted last.  Equal real keys merge in A-then-B
+    index order (irrelevant to the weighted re-count, but deterministic).
+    """
+    assert tile % (8 * LANES) == 0, "output block rows must be 8-aligned"
+    n_a, n_b = a_hi.shape[0], b_hi.shape[0]
+    n_out = _round_up(max(n_a + n_b, tile), tile)
+    T = n_out // tile
+    a_starts = _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile, n_out)
+    b_fs = n_b - (jnp.arange(T, dtype=jnp.int32) * tile - a_starts)
+
+    MAXU = 0xFFFFFFFF
+    # DMA windows read RW + 8 rows from start//LANES: pad both
+    # inputs past their logical end accordingly
+    la = _round_up(n_a + tile + 9 * LANES, LANES)
+    a_hi2 = _pad_plane_2d(a_hi, la, MAXU)
+    a_lo2 = _pad_plane_2d(a_lo, la, MAXU)
+    a_w2 = _pad_plane_2d(a_w.astype(jnp.uint32), la, 0)
+    # flipped B with a tile-sized MAX front pad (covers b >= nB reads)
+    lb = _round_up(tile + n_b + 9 * LANES, LANES)
+    pad_front = jnp.full((tile,), MAXU, jnp.uint32)
+    bf_hi = _pad_plane_2d(jnp.concatenate([pad_front, jnp.flip(b_hi)]),
+                          lb, MAXU)
+    bf_lo = _pad_plane_2d(jnp.concatenate([pad_front, jnp.flip(b_lo)]),
+                          lb, MAXU)
+
+    RW = tile // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=[pl.BlockSpec((RW, LANES), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[pltpu.VMEM((RW + 8, LANES), jnp.uint32)
+                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5,))],
+    )
+    out2 = jax.ShapeDtypeStruct((n_out // LANES, LANES), jnp.uint32)
+    o_hi, o_lo, o_w = pl.pallas_call(
+        functools.partial(_merge_kernel, tile=tile, n_a=n_a, n_b=n_b),
+        grid_spec=grid_spec,
+        out_shape=(out2, out2, out2),
+        interpret=interpret,
+    )(a_starts, b_fs, a_hi2, a_lo2, a_w2, bf_hi, bf_lo)
+    return o_hi.reshape(-1), o_lo.reshape(-1), o_w.reshape(-1)
+
+
+# -- streaming compress (the compaction sort replacement) ----------------------
+
+def _cumsum_lanes_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix sum along the 128-lane axis (log-doubling with
+    static lane rolls)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    s = 1
+    while s < LANES:
+        sh = pltpu.roll(acc, shift=s, axis=1)          # acc[r, l-s]
+        acc = acc + jnp.where(lane >= s, sh, jnp.zeros_like(sh))
+        s *= 2
+    return acc - x
+
+
+def _cumsum_rows_excl(tot: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix sum along rows (static slice shifts; tot is
+    [R, LANES] with the row total broadcast across lanes)."""
+    R = tot.shape[0]
+    acc = tot
+    s = 1
+    while s < R:
+        sh = jnp.concatenate(
+            [jnp.zeros((s, LANES), tot.dtype), acc[:R - s]], axis=0)
+        acc = acc + sh
+        s *= 2
+    return acc - tot
+
+
+def _compress_kernel(offs_ref, cnt_ref,
+                     hi_ref, lo_ref, pay_ref, keep_ref,
+                     out_hi_ref, out_lo_ref, out_pay_ref,
+                     c_hi, c_lo, c_pay, s_hi, s_lo, s_pay, sem,
+                     *, rows: int, n_blocks: int):
+    """Grid step g: stable-compact this block's kept lanes behind the
+    carried partial row, write all full 128-lane rows to the output at
+    the (jnp-precomputed, row-aligned) offset, keep the new partial row
+    in the persistent carry scratch.  Grid execution is sequential on
+    TPU, so the carry flows block to block."""
+    WR = rows + 8            # working rows: 1 carry + `rows` block + pad
+    g = pl.program_id(0)
+    off = offs_ref[g]
+    cnt = cnt_ref[g]
+    carry_cnt = jax.lax.rem(off, LANES)
+    r0 = off // LANES
+
+    keep = keep_ref[:].astype(jnp.uint32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    # rank of each kept lane within the block (exclusive count of kept
+    # lanes before it, row-major)
+    lane_excl = _cumsum_lanes_excl(keep)
+    row_tot = jnp.broadcast_to(
+        (lane_excl[:, LANES - 1:] + keep[:, LANES - 1:]), (rows, LANES))
+    rank = _cumsum_rows_excl(row_tot) + lane_excl
+
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+           + lane)
+    disp_blk = (LANES + lin) - (carry_cnt + rank.astype(jnp.int32))
+
+    def widen(x, fill=0):
+        pad = jnp.full((WR - 1 - rows, LANES), fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    carry_lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    carry_active = (carry_lane < carry_cnt).astype(jnp.uint32)
+    w_hi = jnp.concatenate([c_hi[:], widen(hi_ref[:])], axis=0)
+    w_lo = jnp.concatenate([c_lo[:], widen(lo_ref[:])], axis=0)
+    w_pay = jnp.concatenate([c_pay[:], widen(pay_ref[:])], axis=0)
+    w_rem = jnp.concatenate(
+        [jnp.zeros((1, LANES), jnp.int32),
+         widen(jnp.where(keep == 1, disp_blk, 0))], axis=0)
+    w_act = jnp.concatenate([carry_active, widen(keep)], axis=0)
+
+    # LSB-first bit-serial shifts of the monotone partial route: two
+    # active elements never collide (see module docstring proof sketch)
+    b = 0
+    while (1 << b) <= LANES + rows * LANES:
+        s = 1 << b
+        moving = (w_act == 1) & (((w_rem >> b) & 1) == 1)
+        mv_u32 = moving.astype(jnp.uint32)
+        recv = _shift_linear_down(mv_u32, s, WR) == 1
+        w_hi = jnp.where(recv, _shift_linear_down(w_hi, s, WR), w_hi)
+        w_lo = jnp.where(recv, _shift_linear_down(w_lo, s, WR), w_lo)
+        w_pay = jnp.where(recv, _shift_linear_down(w_pay, s, WR), w_pay)
+        w_rem = jnp.where(recv, _shift_linear_down(w_rem, s, WR) - s, w_rem)
+        w_act = jnp.where(recv, jnp.uint32(1),
+                          jnp.where(moving, jnp.uint32(0), w_act))
+        b += 1
+
+    total = carry_cnt + cnt
+    rows_full = total // LANES
+
+    # DMA sources must be refs: land the routed planes in VMEM scratch
+    s_hi[:] = w_hi
+    s_lo[:] = w_lo
+    s_pay[:] = w_pay
+
+    # write rows [0, rows_full) at output row r0 via power-of-two DMAs
+    # (DMA row counts must divide/be multiples of the 8-sublane tile)
+    def write_rows(src, dst, row_off, nrows):
+        cp = pltpu.make_async_copy(
+            src.at[pl.ds(row_off, nrows), :],
+            dst.at[pl.ds(r0 + row_off, nrows), :], sem)
+        cp.start()
+        cp.wait()
+
+    for bit in reversed(range(8)):
+        nrows = 1 << bit
+        row_off = (rows_full >> (bit + 1)) << (bit + 1)
+
+        @pl.when(((rows_full >> bit) & 1) == 1)
+        def _(nrows=nrows, row_off=row_off):
+            write_rows(s_hi, out_hi_ref, row_off, nrows)
+            write_rows(s_lo, out_lo_ref, row_off, nrows)
+            write_rows(s_pay, out_pay_ref, row_off, nrows)
+
+    # final flush: the last block writes its partial row too (junk tail
+    # lanes past n_unique are masked by the caller).  Must happen BEFORE
+    # the carry update below overwrites nothing -- reads s_* refs.
+    @pl.when((g == n_blocks - 1) & (total > rows_full * LANES))
+    def _():
+        write_rows(s_hi, out_hi_ref, rows_full, 1)
+        write_rows(s_lo, out_lo_ref, rows_full, 1)
+        write_rows(s_pay, out_pay_ref, rows_full, 1)
+
+    # stash the new partial row in the carry scratch
+    c_hi[:] = s_hi[pl.ds(rows_full, 1), :]
+    c_lo[:] = s_lo[pl.ds(rows_full, 1), :]
+    c_pay[:] = s_pay[pl.ds(rows_full, 1), :]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def compress_flagged(hi, lo, pay, keep, block: int = 16384,
+                     interpret: bool = False):
+    """Stable-compact the lanes with keep != 0 to the front, carrying
+    `pay`: out[j] = (hi, lo, pay) of the j-th kept lane.  Returns
+    (hi, lo, pay) of the padded input length; lanes past the kept count
+    are UNSPECIFIED (mask with the caller-known count).
+
+    One read + one write of the data instead of the 3-operand full sort
+    the round-4 compaction used (105 ms at 25 M lanes -- this pass is
+    ~24 B/lane of HBM traffic).  keep: uint8/uint32 0-or-1 lanes."""
+    n = hi.shape[0]
+    n_pad = _round_up(max(n, block), block)
+    G = n_pad // block
+    rows = block // LANES
+    keep8 = keep.astype(jnp.uint8)
+    k2 = _pad_plane_2d(keep8.astype(jnp.uint32), n_pad, 0).astype(jnp.uint8)
+    hi2 = _pad_plane_2d(hi, n_pad, 0)
+    lo2 = _pad_plane_2d(lo, n_pad, 0)
+    pay2 = _pad_plane_2d(pay.astype(jnp.uint32), n_pad, 0)
+    per_block = (k2.astype(jnp.uint32).reshape(G, block).sum(axis=1)
+                 .astype(jnp.int32))
+    offs = (jnp.cumsum(per_block) - per_block).astype(jnp.int32)
+
+    blk_spec = pl.BlockSpec((rows, LANES), lambda g, *_: (g, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[blk_spec, blk_spec, blk_spec, blk_spec],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.uint32) for _ in range(3)]
+        + [pltpu.VMEM((rows + 8, LANES), jnp.uint32) for _ in range(3)]
+        + [pltpu.SemaphoreType.DMA(())],
+    )
+    out2 = jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32)
+    o_hi, o_lo, o_pay = pl.pallas_call(
+        functools.partial(_compress_kernel, rows=rows, n_blocks=G),
+        grid_spec=grid_spec,
+        out_shape=(out2, out2, out2),
+        interpret=interpret,
+    )(offs, per_block, hi2, lo2, pay2, k2)
+    return (o_hi.reshape(-1)[:n], o_lo.reshape(-1)[:n],
+            o_pay.reshape(-1)[:n])

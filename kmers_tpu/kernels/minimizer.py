@@ -137,6 +137,14 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         s_lo = jnp.uint32(seed & 0xFFFFFFFF)
         h_lo = mix32(wm_lo ^ mix32(wm_hi ^ s_lo))
         h_hi = jnp.zeros_like(h_lo)
+    elif order == "mix16":
+        # 16-bit order (ops.hash.mix16_hash_fn): the top half of mix32,
+        # leaving 12 bits to pack the POSITION into the same compare
+        # plane below -- one fewer carried plane through the VPU-bound
+        # scan (round 5); leftmost-tie = the in-key position
+        s_lo = jnp.uint32(seed & 0xFFFFFFFF)
+        h_lo = mix32(wm_lo ^ mix32(wm_hi ^ s_lo)) >> jnp.uint32(16)
+        h_hi = jnp.zeros_like(h_lo)
     else:
         s_lo = jnp.uint32(seed & 0xFFFFFFFF)
         s_hi = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
@@ -149,7 +157,13 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
     # drops out of both the compare and the carry.
     W = k - w + 1
     pos0 = iota
-    hi_zero = order == "mix32" or (use_lex and w <= 16)
+    hi_zero = order in ("mix32", "mix16") or (use_lex and w <= 16)
+    # packed scan (order "mix16"): (order16 << 12) | pos is ONE strictly
+    # distinct compare plane -- leftmost ties are automatic (smaller pos
+    # wins) and pos stops being a separate carried payload
+    packed = order == "mix16" and stage == "full"
+    if packed:
+        assert L <= 4096, "packed order needs pos to fit 12 bits"
 
     if stage == "hash":
         # ablation arm: stop before the vHGW scan (same outputs shape,
@@ -167,7 +181,12 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         valid_ref[:] = v.astype(jnp.uint8)
         return
 
-    if hi_zero:
+    if packed:
+        def less(a, b):        # strictly distinct packed keys: < is total
+            return a[0] < b[0]
+
+        less_eq = less         # equality is impossible (pos is in-key)
+    elif hi_zero:
         def less(a, b):        # a < b on h_lo alone
             return a[0] < b[0]
 
@@ -181,11 +200,15 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
             return (a[0] < b[0]) | ((a[0] == b[0]) & ~(b[1] < a[1]))
 
     # carried tuple: compare planes first, then payload planes
-    hashes = (h_lo,) if hi_zero else (h_hi, h_lo)
-    if narrow:
-        init = hashes + (pos0, wm_lo)
+    if packed:
+        key = (h_lo << jnp.uint32(12)) | pos0.astype(jnp.uint32)
+        init = (key, wm_lo) if narrow else (key, wm_lo, wm_hi)
     else:
-        init = hashes + (pos0, wm_lo, wm_hi)
+        hashes = (h_lo,) if hi_zero else (h_hi, h_lo)
+        if narrow:
+            init = hashes + (pos0, wm_lo)
+        else:
+            init = hashes + (pos0, wm_lo, wm_hi)
 
     def pick(take, cand, cur):
         return tuple(jnp.where(take, c, x) for c, x in zip(cand, cur))
@@ -224,7 +247,11 @@ def _minimizer_kernel(reads_ref, word_hi_ref, word_lo_ref, pos_ref, valid_ref,
         # all S positions precede all Rw positions: tie prefers S
         best = pick(less(Rw, S), Rw, S)
 
-    if narrow:
+    if packed:
+        best_pos = (best[0] & jnp.uint32(0xFFF)).astype(jnp.int32)
+        best_w_lo = best[1]
+        best_w_hi = jnp.zeros_like(best_w_lo) if narrow else best[2]
+    elif narrow:
         *_, best_pos, best_w_lo = best
         best_w_hi = jnp.zeros_like(best_w_lo)
     else:
@@ -282,7 +309,7 @@ def minimizer_kernel(reads: jnp.ndarray, k: int, w: int, seed: int = 0,
     # O(log W) roll passes -- ~10 u32 blocks of VMEM regardless of W;
     # keep blocks small and the scoped-vmem cap raised
     assert stage in ("full", "hash")
-    assert order in ("mix64", "mix32")
+    assert order in ("mix64", "mix32", "mix16")
     return pl.pallas_call(
         functools.partial(_minimizer_kernel, k=k, w=w, seed=seed,
                           use_lex=use_lex, stage=stage, order=order),

@@ -421,6 +421,55 @@ def merge_many(tables, max_k: Optional[int] = None) -> CountTable:
     return count_weighted(keys, valid, counts, max_k=max_k)
 
 
+def merge_table_with_sorted_units(table: CountTable, sorted_units: U64,
+                                  interpret: bool = False) -> CountTable:
+    """Weighted merge of a compact key-sorted CountTable with PRE-SORTED
+    unit keys (the folded spare-bit layout, invalid lanes flagged and
+    sorted last) -- the streaming-consolidation fast path (k <= 31).
+
+    Equivalent to ``merge_many((table, UnitTable(sorted_units)))`` but
+    instead of two full lax.sorts of capacity + pending lanes it runs
+    two streaming Pallas passes (kernels/merge.py):
+
+      merge_sorted      merge-path merge of the two sorted sequences
+      compress_flagged  compaction of the run-start lanes
+
+    plus bandwidth-cheap scans (run starts, weight cumsum).  The result
+    table is bit-identical to the sort-based merge (capacity = the
+    padded merged length; keys sorted; zeros past n_unique)."""
+    from ..kernels import merge as kmerge
+
+    cap = table.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < table.n_unique
+    # dead table slots become MAX sentinels so A stays ascending with its
+    # dead tail last (flag bit set -> stripped as invalid downstream)
+    a_hi = jnp.where(live, table.keys.hi, jnp.uint32(0xFFFFFFFF))
+    a_lo = jnp.where(live, table.keys.lo, jnp.uint32(0xFFFFFFFF))
+    a_w = jnp.where(live, table.counts, 0).astype(jnp.uint32)
+    m_hi, m_lo, m_w = kmerge.merge_sorted(
+        a_hi, a_lo, a_w, sorted_units.hi.reshape(-1),
+        sorted_units.lo.reshape(-1), interpret=interpret)
+    n = m_hi.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = (m_hi >> 31) == 0              # all valid lanes are first
+    prev_hi = jnp.concatenate([m_hi[:1] ^ jnp.uint32(1), m_hi[:-1]])
+    prev_lo = jnp.concatenate([m_lo[:1], m_lo[:-1]])
+    starts = valid & ((m_hi != prev_hi) | (m_lo != prev_lo))
+    mw = jnp.where(valid, m_w, 0).astype(jnp.uint32)
+    csum = jnp.cumsum(mw)
+    csum_excl = csum - mw
+    c_hi, c_lo, c_excl = kmerge.compress_flagged(
+        m_hi, m_lo, csum_excl, starts.astype(jnp.uint8),
+        interpret=interpret)
+    n_unique = starts.sum(dtype=jnp.int32)
+    live2 = pos < n_unique
+    counts = _counts_from_positions(c_excl, pos, n_unique,
+                                    csum[-1]).astype(jnp.int32)
+    keys = U64(jnp.where(live2, c_hi, 0), jnp.where(live2, c_lo, 0))
+    return CountTable(keys=keys, counts=counts, n_unique=n_unique)
+
+
 def empty_like_table(t):
     """An all-dead table with t's shapes (consolidation padding): zeros
     for count tables; for UnitTable every lane must carry the INVALID

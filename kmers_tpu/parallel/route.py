@@ -53,15 +53,28 @@ class Routed(NamedTuple):
 
 
 def owner_of(words: U64, n_shards: int, seed: int = 0) -> jnp.ndarray:
-    """Owning shard = top bits of the mixer hash (hash-prefix routing).
+    """Owning shard = top bits of the BIJECTIVE feistel mix of the word
+    (hash-prefix routing; core.u64.feistel_mix).
+
+    Invertibility is the round-5 routing win: the owner is a PREFIX of
+    the mixed key, so the partition sorts two operands (f_hi, f_lo)
+    instead of (owner, key_hi, key_lo), ships the mixed words, and the
+    receiver recovers exact keys with feistel_unmix -- one fewer operand
+    through the dominant sort, zero information loss.
 
     n_shards need not be a power of two: the prefix is mapped by
-    multiply-shift ((hash_hi * D) >> 32), which preserves the
-    range-partition property on the hash space.
+    multiply-shift ((f_hi * D) >> 32), which preserves the
+    range-partition property on the mixed space.
     """
-    h = u.mix_hash(words, seed)
+    h = u.feistel_mix(words, seed)
     # 32-bit-only multiply-shift (Pallas/TPU-safe, no u64 multiply)
     return _mul_shift32(h.hi, n_shards)
+
+
+def _owner_boundaries(n_shards: int) -> list:
+    """Static f_hi values where ownership changes: owner(x) >= o iff
+    x >= ceil(o * 2^32 / D) (exact inverse of the multiply-shift)."""
+    return [-(-o * (1 << 32) // n_shards) for o in range(n_shards + 1)]
 
 
 def _owner_histogram(owner_sorted: jnp.ndarray, n_shards: int) -> jnp.ndarray:
@@ -92,17 +105,37 @@ def _mul_shift32(x: jnp.ndarray, d: int) -> jnp.ndarray:
 
 def bucket_sort(words: U64, valid: jnp.ndarray, n_shards: int,
                 seed: int = 0):
-    """Sort lanes by owner (invalid last).  Returns (words, valid, owner)
-    sorted, plus per-owner counts [n_shards].  Validity is NOT carried as
-    a sort payload: invalid lanes get the dead owner n_shards, so the
-    sorted validity is simply ``owner < n_shards`` -- one fewer operand
-    in the route's dominant sort."""
-    owner = jnp.where(valid, owner_of(words, n_shards, seed), n_shards)
-    owner = owner.astype(jnp.int32)
-    o, hi, lo = jax.lax.sort(
-        (owner, words.hi, words.lo), num_keys=1, is_stable=True)
-    counts = _owner_histogram(o, n_shards)
-    return U64(hi, lo), o < n_shards, o, counts
+    """Sort lanes by owner (invalid last), in the FEISTEL-MIXED domain.
+
+    Returns (mixed U64, valid, owner) sorted + per-owner counts
+    [n_shards].  The owner is a prefix of f_hi (see owner_of), so the
+    sort carries exactly TWO operands -- the mixed key planes -- instead
+    of the round-4 (owner, key_hi, key_lo); callers ship the mixed planes
+    and invert on the receiving shard (u.feistel_unmix).
+
+    Invalid lanes become (0xFFFFFFFF, 0xFFFFFFFF), which sorts last;
+    validity is recovered positionally (lane < n_valid) and the owner
+    histogram is clipped to n_valid, so a real key aliasing the sentinel
+    (possible: the mix is a bijection, one key maps there) is still
+    counted exactly -- equal mixed values are interchangeable.
+    """
+    f = u.feistel_mix(words, seed)
+    maxu = jnp.uint32(0xFFFFFFFF)
+    f_hi = jnp.where(valid, f.hi, maxu)
+    f_lo = jnp.where(valid, f.lo, maxu)
+    # equal keys are interchangeable (payloads ride inside the key):
+    # stability not required
+    s_hi, s_lo = jax.lax.sort((f_hi, f_lo), num_keys=2, is_stable=False)
+    n_valid = valid.sum(dtype=jnp.int32)
+    sv = jnp.arange(s_hi.shape[-1], dtype=jnp.int32) < n_valid
+    bounds = jnp.searchsorted(
+        s_hi, jnp.asarray(_owner_boundaries(n_shards)[:-1],
+                          dtype=jnp.uint32), side="left").astype(jnp.int32)
+    bounds = jnp.minimum(bounds, n_valid)
+    ends = jnp.concatenate([bounds[1:], n_valid[None]])
+    counts = ends - bounds
+    owner = _mul_shift32(s_hi, n_shards)
+    return U64(s_hi, s_lo), sv, owner, counts
 
 
 _UNROLL_MAX_D = 16
@@ -161,23 +194,6 @@ def _bucket_slices(arrs, starts: jnp.ndarray, capacity: int,
     return slice_at
 
 
-def build_send_buffer(words: U64, valid: jnp.ndarray, n_shards: int,
-                      capacity: int, seed: int = 0, offset: int = 0):
-    """[D, capacity] send buffer (bucket lanes [offset, offset+capacity))
-    + per-destination valid mask + overflow beyond offset+capacity."""
-    sw, sv, so, counts = bucket_sort(words, valid, n_shards, seed)
-    starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
-    j = jnp.arange(capacity, dtype=jnp.int32)[None, :]        # [1, C]
-    in_bucket = j < jnp.clip(counts - offset, 0, capacity)[:, None]
-    s_hi, s_lo = _bucket_slices((sw.hi, sw.lo), starts, capacity,
-                                offset)(offset)
-    send = U64(s_hi, s_lo)
-    overflow = jnp.maximum(counts - offset - capacity,
-                           0).sum().astype(jnp.int32)
-    return send, in_bucket, overflow
-
-
 def route(words: U64, valid: jnp.ndarray, axis_name: str,
           capacity: int, seed: int = 0, passes: int = 1) -> Routed:
     """Inside shard_map: route local k-mers to their owning shard.
@@ -188,6 +204,10 @@ def route(words: U64, valid: jnp.ndarray, axis_name: str,
     [p*C, (p+1)*C) (sorted once, all_to_all repeated).  Received size is
     passes * D * capacity; results are exact while every per-destination
     bucket holds <= passes*capacity lanes.
+
+    The wire carries the feistel-MIXED words (bucket_sort's domain);
+    receivers invert with u.feistel_unmix, so callers see exact original
+    keys.
     """
     d = jax.lax.axis_size(axis_name)
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
@@ -210,9 +230,10 @@ def route(words: U64, valid: jnp.ndarray, axis_name: str,
                            0).sum().astype(jnp.int32)
     rerouted = jnp.clip(counts - capacity, 0,
                         (passes - 1) * capacity).sum().astype(jnp.int32)
+    mixed = U64(jnp.concatenate([r.reshape(-1) for r in recv_hi]),
+                jnp.concatenate([r.reshape(-1) for r in recv_lo]))
     return Routed(
-        words=U64(jnp.concatenate([r.reshape(-1) for r in recv_hi]),
-                  jnp.concatenate([r.reshape(-1) for r in recv_lo])),
+        words=u.feistel_unmix(mixed, seed),
         valid=jnp.concatenate([r.reshape(-1) for r in recv_valid]),
         overflow=overflow,
         rerouted=rerouted,
@@ -374,11 +395,26 @@ def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
     n = words.lo.size
     flat = U64(words.hi.reshape(-1), words.lo.reshape(-1))
     v = valid.reshape(-1)
-    owner = jnp.where(v, owner_of(flat, d, seed), d).astype(jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    o, hi, lo, orig = jax.lax.sort((owner, flat.hi, flat.lo, pos),
-                                   num_keys=1, is_stable=True)
-    counts = _owner_histogram(o, d)
+    # feistel-prefix partition (see bucket_sort): 3 sort operands
+    # (f_hi, f_lo, original position) instead of (owner, hi, lo, pos)
+    f = u.feistel_mix(flat, seed)
+    maxu = jnp.uint32(0xFFFFFFFF)
+    f_hi = jnp.where(v, f.hi, maxu)
+    f_lo = jnp.where(v, f.lo, maxu)
+    # pos is the THIRD sort key (invalid lanes get pos = n): if a real
+    # query aliases the (MAX, MAX) sentinel (the mix is a bijection, one
+    # key maps there), its smaller pos sorts it before every invalid
+    # lane, keeping it inside the valid prefix -- exact, not just
+    # overwhelmingly likely
+    pos = jnp.where(v, jnp.arange(n, dtype=jnp.int32), n)
+    hi, lo, orig = jax.lax.sort((f_hi, f_lo, pos), num_keys=3,
+                                is_stable=False)
+    n_valid = v.sum(dtype=jnp.int32)
+    bounds = jnp.searchsorted(
+        hi, jnp.asarray(_owner_boundaries(d)[:-1], dtype=jnp.uint32),
+        side="left").astype(jnp.int32)
+    bounds = jnp.minimum(bounds, n_valid)
+    counts = jnp.concatenate([bounds[1:], n_valid[None]]) - bounds
     starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]).astype(jnp.int32)
     j = jnp.arange(capacity, dtype=jnp.int32)[None, :]
@@ -387,7 +423,7 @@ def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
     a2a = lambda x: jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
     s_hi, s_lo, send_orig = _bucket_slices((hi, lo, orig), starts,
                                            capacity, 0)(0)
-    recv = U64(a2a(s_hi), a2a(s_lo))
+    recv = u.feistel_unmix(U64(a2a(s_hi), a2a(s_lo)), seed)
     recv_valid = a2a(in_bucket)
 
     def reply(answers: jnp.ndarray) -> jnp.ndarray:

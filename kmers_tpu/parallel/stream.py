@@ -61,6 +61,48 @@ from .count import CountTable, CountTableWide
 def _merge_bounded(table: CountTable, pending: tuple, capacity: int,
                    max_k=None):
     merged = count_ops.merge_many((table,) + tuple(pending), max_k=max_k)
+    return _bound_table(merged, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def _merge_bounded_streaming(table: CountTable, pending: tuple,
+                             capacity: int, interpret: bool = False):
+    """_merge_bounded for the TPU streaming fast path (k <= 31, unit
+    pendings): ONE 2-operand sort of the pending lanes + two Pallas
+    streaming passes (kernels/merge.py) instead of two full sorts of
+    capacity + pending lanes.  Bit-identical table to _merge_bounded
+    (tests pin it); the consolidation drops from ~230 ms to the pending
+    sort's cost."""
+    hi = jnp.concatenate([t.keys.hi.reshape(-1) for t in pending])
+    lo = jnp.concatenate([t.keys.lo.reshape(-1) for t in pending])
+    # the folded flag bit sorts invalid lanes last; equal keys are
+    # interchangeable (unit weight), so stability is not needed
+    s_hi, s_lo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+    merged = count_ops.merge_table_with_sorted_units(
+        table, U64(s_hi, s_lo), interpret=interpret)
+    return _bound_table(merged, capacity)
+
+
+def _stream_merge_mode() -> str:
+    """Dispatch mode of the streaming consolidation fast path:
+    "on" (TPU backend), "off" (other backends, or KMERS_TPU_STREAM_MERGE=0
+    to force the sort-based reference path for A/B checks), or
+    "interpret" (KMERS_TPU_STREAM_MERGE=interpret: run the Pallas passes
+    in interpret mode -- CPU test lane)."""
+    env = os.environ.get("KMERS_TPU_STREAM_MERGE", "")
+    if env == "0":
+        return "off"
+    if env == "interpret":
+        return "interpret"
+    try:
+        return "on" if jax.default_backend() == "tpu" else "off"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return "off"
+
+
+def _bound_table(merged: CountTable, capacity: int):
+    """Bound a compact key-sorted table to `capacity` slots: free slice
+    when it fits, rank-eviction (lowest counts first) otherwise."""
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
 
     def no_evict(m: CountTable):
@@ -254,9 +296,20 @@ class StreamingCounter:
         if len(caps) == 1 and len(pending) < self.merge_every:
             empty = count_ops.empty_like_table(pending[0])
             pending += [empty] * (self.merge_every - len(pending))
-        merge = _merge_bounded_wide if self.wide else _merge_bounded
-        new_table, du, dk = merge(
-            self.table, tuple(pending), self.capacity, max_k=self.k)
+        mode = _stream_merge_mode()
+        if (mode != "off" and not self.wide
+                and all(isinstance(t, count_ops.UnitTable)
+                        for t in pending)):
+            # TPU streaming fast path (round 5): one 2-operand pending
+            # sort + Pallas merge/compress passes -- bit-identical table,
+            # ~2.5x cheaper than the sort-based consolidation
+            new_table, du, dk = _merge_bounded_streaming(
+                self.table, tuple(pending), self.capacity,
+                interpret=mode == "interpret")
+        else:
+            merge = _merge_bounded_wide if self.wide else _merge_bounded
+            new_table, du, dk = merge(
+                self.table, tuple(pending), self.capacity, max_k=self.k)
         # Commit state ATOMICALLY only after the merge demonstrably
         # completed: the scalar fetches below force the executable, so a
         # device fault (the elastic-recovery case) raises BEFORE any

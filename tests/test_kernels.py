@@ -141,6 +141,7 @@ from kmers_tpu.ops import minimizer as mini_ops
 
 @pytest.mark.parametrize("use_lex,order", [(False, "mix64"),
                                            (False, "mix32"),
+                                           (False, "mix16"),
                                            (True, "mix64")])
 @pytest.mark.parametrize("k,w", [
     (11, 11),   # W=1 (w == k edge)
@@ -160,6 +161,8 @@ def test_minimizer_kernel_matches_jnp(use_lex, order, k, w):
         hash_fn = hash_ops.lex_hash_fn(w)
     elif order == "mix32":
         hash_fn = hash_ops.mix32_hash_fn(5)
+    elif order == "mix16":
+        hash_fn = hash_ops.mix16_hash_fn(5)
     else:
         hash_fn = hash_ops.mix_hash_fn(5)
     want = mini_ops.minimizer_stream(reads, k, w, hash_fn)

@@ -206,3 +206,38 @@ def test_streaming_counter_on_device_exact():
         sc.update(jnp.asarray(rows[i:i + 128]))
     assert dict(sc.to_pairs()) == dict(expect)
     assert sc.kmers == sum(expect.values())
+
+
+def test_streaming_fast_merge_compiled_matches_sort_path(monkeypatch):
+    """Round-5 consolidation: the compiled Pallas merge+compress fast
+    path vs the sort-based reference path, same batches, on the chip."""
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    k = 31
+    rows = np.asarray(rand_reads(256, 96))
+
+    def run():
+        sc = StreamingCounter(k, capacity=1 << 14, merge_every=2)
+        for i in range(0, 256, 64):
+            sc.update(jnp.asarray(rows[i:i + 64]))
+        sc._consolidate()
+        return sc
+
+    monkeypatch.setenv("KMERS_TPU_STREAM_MERGE", "0")
+    ref = run()
+    monkeypatch.delenv("KMERS_TPU_STREAM_MERGE")
+    fast = run()
+    assert fast.to_pairs() == ref.to_pairs()
+    # saturated-table round: evict branch over the fast merged table
+    monkeypatch.setenv("KMERS_TPU_STREAM_MERGE", "0")
+    ref2 = StreamingCounter(k, capacity=256, merge_every=2)
+    for i in range(0, 256, 64):
+        ref2.update(jnp.asarray(rows[i:i + 64]))
+    ref2._consolidate()
+    monkeypatch.delenv("KMERS_TPU_STREAM_MERGE")
+    fast2 = StreamingCounter(k, capacity=256, merge_every=2)
+    for i in range(0, 256, 64):
+        fast2.update(jnp.asarray(rows[i:i + 64]))
+    fast2._consolidate()
+    assert fast2.to_pairs() == ref2.to_pairs()
+    assert fast2.dropped_kmers == ref2.dropped_kmers > 0
