@@ -104,20 +104,32 @@ def main():
     emit("k63_2xu64_window_canonical", rate, "kmers/s",
          f"pallas kernel, on-device bit-exact vs jnp: {exact}")
 
+    # config 3u: the wide FOLDED-KEY kernel (round 5) -- the wide unit
+    # streaming path's per-batch emission (16 B/lane out vs full's 26)
+    def cfg3u(reads):
+        k3, k2, k1, k0 = kww.pack_canonical_keys_wide(reads, 63)
+        return benchlib.ascii_from_codes(k0 ^ k1 ^ k2 ^ k3)
+
+    rate = benchlib.chain_rate(cfg3u, inp3, B3 * (L3 - 63 + 1))
+    emit("k63_folded_keys_unit", rate, "kmers/s",
+         "pack_canonical_keys_wide: UnitTableWide spare-bit layout, the "
+         "wide streaming per-batch form")
+
     # config 4: minimizers w=11 k=31 (single-chip kernel; 8-chip DP path
     # validated on CPU mesh in tests/test_halo.py)
     B4, L4 = (256, 512) if QUICK else (2048, 1024)
 
     def cfg4(reads):
         word_hi, word_lo, pos, _valid = kmini.minimizer_kernel(
-            reads, 31, 11, order="mix32")
+            reads, 31, 11, order="mix16")
         return benchlib.ascii_from_codes(word_lo ^ pos.astype(jnp.uint32))
 
     rate = benchlib.chain_rate(cfg4, first_reads(B4, L4, 4),
                                B4 * (L4 - 31 + 1))
     emit("minimizers_k31_w11", rate, "kmers/s",
-         "mix32 selection order (explicit opt-in; default is mix64); "
-         "8-chip data-parallel path: tests/test_halo.py on CPU mesh")
+         "mix16 packed selection order (explicit opt-in; default is "
+         "mix64); 8-chip data-parallel path: tests/test_halo.py on CPU "
+         "mesh")
 
     # config 5: full counting pipeline (windows+canonical+sort+count),
     # E. coli-scale stream = many such batches; multi-host all_to_all path
@@ -567,8 +579,9 @@ def lookup_bench():
     # build a realistic table: random keys, counts 1..100
     rng = np.random.default_rng(11)
     n_keys = CAP // 2
-    keys = np.sort(rng.choice(2**62, size=n_keys, replace=False)).astype(
-        np.uint64)
+    keys = np.zeros(CAP, np.uint64)
+    keys[:n_keys] = np.sort(
+        rng.choice(2**62, size=n_keys, replace=False)).astype(np.uint64)
     table = count_ops.CountTable(
         keys=U64(jnp.asarray((keys >> 32).astype(np.uint32)),
                  jnp.asarray((keys & 0xFFFFFFFF).astype(np.uint32))),
@@ -577,7 +590,6 @@ def lookup_bench():
                      rng.integers(1, 100, CAP), 0).astype(np.int32)),
         n_unique=jnp.int32(n_keys))
     tables = jax.tree.map(lambda x: x[None], table)    # leading [D=1]
-    lookup = pipeline.make_sharded_lookup(m, query_capacity=NQ)
 
     q0 = U64(jnp.asarray(rng.integers(0, 2**30, NQ, dtype=np.uint32)),
              jnp.asarray(rng.integers(0, 2**32, NQ, dtype=np.uint32)))
@@ -590,16 +602,24 @@ def lookup_bench():
         x = x * jnp.uint32(0x846CA68B)
         return x ^ (x >> 16)
 
-    def step(carry):
-        qh, ql = carry
-        counts, _ov = lookup(tables, qh, ql, valid)
-        u = counts.astype(jnp.uint32)
-        return (mix32(qh ^ u) & jnp.uint32(0x3FFFFFFF), mix32(ql + u))
+    for arm, merge in (("merge", True), ("binsearch", False)):
+        lookup = pipeline.make_sharded_lookup(m, query_capacity=NQ,
+                                              max_k=31, merge_lookup=merge)
 
-    sec = benchlib.chain_seconds_per_iter(step, (q0.hi, q0.lo),
-                                          s_short=4, s_long=68, rounds=4)
-    emit("lookup_service_1chip", NQ / sec, "queries/s",
-         f"{NQ} queries vs {n_keys}-key table, incl. reply scatter")
+        def step(carry, lookup=lookup):
+            qh, ql = carry
+            counts, _ov = lookup(tables, qh, ql, valid)
+            u = counts.astype(jnp.uint32)
+            return (mix32(qh ^ u) & jnp.uint32(0x3FFFFFFF), mix32(ql + u))
+
+        sec = benchlib.chain_seconds_per_iter(step, (q0.hi, q0.lo),
+                                              s_short=4, s_long=68,
+                                              rounds=4)
+        emit(f"lookup_service_1chip_{arm}", NQ / sec, "queries/s",
+             f"{NQ} queries vs {n_keys}-key table; "
+             + ("merge-based lookup + scatter-free reply (the TPU "
+                "default since round 5)" if merge else
+                "per-query binary search (the round-4 path)"))
 
 
 if __name__ == "__main__":

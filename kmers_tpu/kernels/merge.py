@@ -151,9 +151,15 @@ def _window_extract(vbuf: jnp.ndarray, off, RW: int) -> jnp.ndarray:
 
 def _merge_kernel(a_start_ref, b_fs_ref,
                   a_hi_ref, a_lo_ref, a_w_ref, bf_hi_ref, bf_lo_ref,
-                  out_hi_ref, out_lo_ref, out_w_ref,
-                  va_hi, va_lo, va_w, vb_hi, vb_lo, sems,
-                  *, tile: int, n_a: int, n_b: int):
+                  *out_and_scratch,
+                  tile: int, n_a: int, n_b: int, with_idx: bool):
+    if with_idx:
+        (out_hi_ref, out_lo_ref, out_w_ref, out_idx_ref,
+         va_hi, va_lo, va_w, vb_hi, vb_lo, sems) = out_and_scratch
+    else:
+        (out_hi_ref, out_lo_ref, out_w_ref,
+         va_hi, va_lo, va_w, vb_hi, vb_lo, sems) = out_and_scratch
+        out_idx_ref = None
     RW = tile // LANES
     t = pl.program_id(0)
     a0 = a_start_ref[t]
@@ -201,10 +207,12 @@ def _merge_kernel(a_start_ref, b_fs_ref,
     w = jnp.concatenate([wa_w, wb_w], axis=0)
     idx = jnp.concatenate([idx_a, idx_b], axis=0)
 
-    s_hi, s_lo, s_w, _ = _bitonic_merge_4(hi, lo, w, idx, 2 * tile)
+    s_hi, s_lo, s_w, s_idx = _bitonic_merge_4(hi, lo, w, idx, 2 * tile)
     out_hi_ref[:] = s_hi[:RW]
     out_lo_ref[:] = s_lo[:RW]
     out_w_ref[:] = s_w[:RW]
+    if with_idx:
+        out_idx_ref[:] = s_idx[:RW]
 
 
 def _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile: int, n_out: int):
@@ -230,9 +238,10 @@ def _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile: int, n_out: int):
     return lo_b
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret",
+                                             "with_idx"))
 def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 8192,
-                 interpret: bool = False):
+                 interpret: bool = False, with_idx: bool = False):
     """Merge sorted A (key_hi, key_lo, weight-u32) with sorted B
     (key_hi, key_lo in the folded spare-bit layout: bit 31 of hi set =
     dead lane, weight = flag^1) into one sorted (hi, lo, w) of length
@@ -265,23 +274,25 @@ def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 8192,
                           lb, MAXU)
 
     RW = tile // LANES
+    n_outs = 4 if with_idx else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
         out_specs=[pl.BlockSpec((RW, LANES), lambda t, *_: (t, 0),
-                                memory_space=pltpu.VMEM)] * 3,
+                                memory_space=pltpu.VMEM)] * n_outs,
         scratch_shapes=[pltpu.VMEM((RW + 8, LANES), jnp.uint32)
                         for _ in range(5)] + [pltpu.SemaphoreType.DMA((5,))],
     )
     out2 = jax.ShapeDtypeStruct((n_out // LANES, LANES), jnp.uint32)
-    o_hi, o_lo, o_w = pl.pallas_call(
-        functools.partial(_merge_kernel, tile=tile, n_a=n_a, n_b=n_b),
+    outs = pl.pallas_call(
+        functools.partial(_merge_kernel, tile=tile, n_a=n_a, n_b=n_b,
+                          with_idx=with_idx),
         grid_spec=grid_spec,
-        out_shape=(out2, out2, out2),
+        out_shape=(out2,) * n_outs,
         interpret=interpret,
     )(a_starts, b_fs, a_hi2, a_lo2, a_w2, bf_hi, bf_lo)
-    return o_hi.reshape(-1), o_lo.reshape(-1), o_w.reshape(-1)
+    return tuple(o.reshape(-1) for o in outs)
 
 
 # -- streaming compress (the compaction sort replacement) ----------------------

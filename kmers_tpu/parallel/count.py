@@ -488,6 +488,89 @@ def empty_like_table(t):
     return jax.tree.map(jnp.zeros_like, t)
 
 
+def lookup_merge(table: CountTable, queries: U64,
+                 valid: Optional[jnp.ndarray] = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Batch lookup by SORT-MERGE instead of per-query binary search
+    (k <= 31 keys: bit 31 must be structurally clear).
+
+    Why (round 5, measured): the binary search runs log2(cap) rounds of
+    random gathers per query -- 1M queries against a 2^20-capacity table
+    cost 479 ms on v5e (gathers price like scatters on TPU).  This path
+    is sorts + one streaming merge: sort queries (with their positions),
+    merge against the (already sorted) table with the source-index plane
+    exported, broadcast each key-run's table count to its query lanes
+    (the A-first tie rule puts the unique table lane AT the run start),
+    compress the query lanes out, and un-sort by position.  All
+    bandwidth-bound passes; ~30x the binary search at 1M queries.
+
+    Returns int32 counts aligned with `queries` (0 where absent).
+    `valid=False` lanes return 0 (their keys are routed to the sentinel
+    tail and never match)."""
+    from ..kernels import merge as kmerge
+
+    q_hi = queries.hi.reshape(-1)
+    q_lo = queries.lo.reshape(-1)
+    nq = q_hi.shape[0]
+    if valid is not None:
+        # invalid queries become (MAX, MAX-1): after every real canonical
+        # key (hi < 2^31) but strictly BEFORE the (MAX, MAX) pad/dead
+        # sentinel -- an invalid query keyed (MAX, MAX) would sort among
+        # the window-pad lanes and could be cut from the output tile,
+        # losing its answer slot (found by the invalid-lane test)
+        v = valid.reshape(-1)
+        q_hi = jnp.where(v, q_hi, jnp.uint32(0xFFFFFFFF))
+        q_lo = jnp.where(v, q_lo, jnp.uint32(0xFFFFFFFE))
+    pos = jnp.arange(nq, dtype=jnp.int32)
+    s_hi, s_lo, s_pos = jax.lax.sort((q_hi, q_lo, pos), num_keys=2,
+                                     is_stable=True)
+    cap = table.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < table.n_unique
+    a_hi = jnp.where(live, table.keys.hi, jnp.uint32(0xFFFFFFFF))
+    a_lo = jnp.where(live, table.keys.lo, jnp.uint32(0xFFFFFFFF))
+    a_w = jnp.where(live, table.counts, 0).astype(jnp.uint32)
+    m_hi, m_lo, m_w, m_idx = kmerge.merge_sorted(
+        a_hi, a_lo, a_w, s_hi, s_lo, interpret=interpret, with_idx=True)
+    n = m_hi.shape[0]
+    is_q = (m_idx >> 31) == 1
+    # run starts on the merged keys; the (unique-keyed) table lane of a
+    # run, if any, is exactly the run-start lane (A-first tie order)
+    prev_hi = jnp.concatenate([m_hi[:1] ^ jnp.uint32(1), m_hi[:-1]])
+    prev_lo = jnp.concatenate([m_lo[:1], m_lo[:-1]])
+    starts = (m_hi != prev_hi) | (m_lo != prev_lo)
+    start_val = jnp.where(starts & ~is_q, m_w, 0)
+    # broadcast each run-start value forward within its run: log-doubling
+    # "last start value at or before me" (carry (position, value) max)
+    p = jnp.arange(n, dtype=jnp.int32)
+    last_start = jnp.where(starts, p, -1)
+    val = start_val
+    s = 1
+    while s < n:
+        sh_pos = jnp.concatenate(
+            [jnp.full((s,), -1, last_start.dtype), last_start[:-s]])
+        sh_val = jnp.concatenate([jnp.zeros((s,), val.dtype), val[:-s]])
+        take = sh_pos > last_start
+        last_start = jnp.maximum(last_start, sh_pos)
+        val = jnp.where(take, sh_val, val)
+        s *= 2
+    # compress the query lanes out with their answers.  The first nq
+    # compressed entries are exactly the nq real queries in sorted-query
+    # rank order: B-side window-pad sentinels (the only other is_q lanes)
+    # carry ranks >= nq and live only in the output's tail pad, after
+    # every real lane.
+    _, _, c_val = kmerge.compress_flagged(
+        m_idx & jnp.uint32(0x7FFFFFFF), m_lo,
+        val, is_q.astype(jnp.uint8), interpret=interpret)
+    ans_rank = c_val[:nq]
+    # un-sort: answers are in sorted-query order (rank r <-> original
+    # position s_pos[r]); one 2-operand sort by position restores the
+    # original order -- no scatter
+    _, answers = jax.lax.sort(
+        (s_pos, ans_rank.astype(jnp.int32)), num_keys=1, is_stable=True)
+    return answers
+
+
 def lookup(table: CountTable, queries: U64) -> jnp.ndarray:
     """Count of each query word (0 if absent): branch-free binary search
     over the sorted key region.  Static log2(cap) steps."""

@@ -662,28 +662,30 @@ def emit_superkmers(reads_local: jnp.ndarray, k: int, w: int, seed: int):
     """
     assert 1 <= w <= min(k, 31) and k <= 31
     B, L = reads_local.shape
-    # minimizer selection under the mix32 order (which w-mer wins changes
-    # run boundaries, never the counted table -- every occurrence of a
-    # k-mer still routes to one owner).  On TPU the gather-free Pallas
-    # kernel does the selection (the jnp path's winning-w-mer gather was
-    # the emission bottleneck: 27 -> 37.6 M kmers/s before this switch).
+    # minimizer selection under the mix16 packed order (round 5; which
+    # w-mer wins changes run boundaries, never the counted table --
+    # every occurrence of a k-mer still routes to one owner).  On TPU the
+    # gather-free Pallas kernel does the selection (the jnp path's
+    # winning-w-mer gather was the emission bottleneck: 27 -> 37.6 M
+    # kmers/s before this switch; mix32 -> mix16 then lifted the kernel
+    # 13.0 -> 16.0 G kmers/s).
     use_kernel = False
     try:
         use_kernel = (jax.default_backend() == "tpu"
-                      and B % min(64, B) == 0)
+                      and B % min(64, B) == 0 and L <= 4096)
     except RuntimeError:  # pragma: no cover - no backend at trace time
         pass
     if use_kernel:
         from ..kernels import minimizer as kmini
 
         wh, wl, mpos, v8 = kmini.minimizer_kernel(reads_local, k, w,
-                                                  seed=seed, order="mix32")
+                                                  seed=seed, order="mix16")
         mm = mini_ops.MappedMinimizers(word=U64(wh, wl), pos=mpos,
                                        valid=v8.astype(bool),
                                        n_kmers=L - k + 1)
     else:
         mm = mini_ops.minimizer_stream(reads_local, k, w,
-                                       hash_ops.mix32_hash_fn(seed))
+                                       hash_ops.mix16_hash_fn(seed))
     codes = enc_ops.ascii_to_codes(reads_local)
     w16 = kmer_ops.pack_u32_words(codes)
     col = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
@@ -834,8 +836,21 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
 
 # -- distributed lookup service (query serving over shard tables) --------------
 
+def _lookup_merge_ok(max_k: Optional[int]) -> bool:
+    """Whether the merge-based lookup can serve (TPU backend, spare bit
+    31 free: k <= 31 keys)."""
+    if max_k is None or max_k > 31:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return False
+
+
 def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,
-                        axis: str = "d"):
+                        axis: str = "d", max_k: Optional[int] = None,
+                        merge_lookup: Optional[bool] = None,
+                        interpret: bool = False):
     """Build a jitted query step over per-shard count tables.
 
     fn(tables, query_hi, query_lo, query_valid) -> counts int32, aligned
@@ -844,11 +859,17 @@ def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,
     (as returned by make_sharded_counter), sharded over `axis`; queries
     sharded over `axis` on dim 0.
 
-    The owning shard answers each query with a branch-free binary search of
-    its sorted key region; answers ride the inverse all_to_all home.
+    The owning shard answers its received queries either by merge-based
+    batch lookup (count.lookup_merge -- default on TPU when max_k <= 31;
+    the measured-fast form: the per-query binary search's log2(cap)
+    gather rounds cost 479 ms per 1M queries on v5e) or by the
+    branch-free binary search (fallback); answers ride the inverse
+    all_to_all home scatter-free (route_queries.reply round 5).
     """
     table_spec = CountTable(keys=U64(P(axis), P(axis)), counts=P(axis),
                             n_unique=P(axis))
+    use_merge = (merge_lookup if merge_lookup is not None
+                 else _lookup_merge_ok(max_k))
 
     def body(tables, q_hi, q_lo, q_valid):
         shard = CountTable(
@@ -857,7 +878,13 @@ def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,
         recv, recv_valid, reply, overflow = route_ops.route_queries(
             U64(q_hi.reshape(-1), q_lo.reshape(-1)), q_valid.reshape(-1),
             axis, query_capacity, seed)
-        answers = count_ops.lookup(shard, recv).reshape(recv_valid.shape)
+        if use_merge:
+            answers = count_ops.lookup_merge(
+                shard, recv, valid=recv_valid,
+                interpret=interpret).reshape(recv_valid.shape)
+        else:
+            answers = count_ops.lookup(shard, recv).reshape(
+                recv_valid.shape)
         answers = jnp.where(recv_valid, answers, -1)
         counts = reply(answers)
         return counts.reshape(q_hi.shape), jax.lax.psum(overflow, axis)
@@ -865,5 +892,5 @@ def make_sharded_lookup(mesh: Mesh, *, query_capacity: int, seed: int = 0,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(table_spec, P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P()))
+        out_specs=(P(axis), P()), check_vma=not use_merge)
     return jax.jit(fn)

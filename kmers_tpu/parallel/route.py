@@ -428,13 +428,41 @@ def route_queries(words: U64, valid: jnp.ndarray, axis_name: str,
 
     def reply(answers: jnp.ndarray) -> jnp.ndarray:
         """answers [D, C] int32 on the owner -> [n] at the original sender
-        lane positions (-1 where unanswered)."""
+        lane positions (-1 where unanswered).
+
+        Scatter-free (round 5): delivery is one 2-operand sort by the
+        original position -- TPU scatters measured ~11x a sort
+        (count.py module docstring).  Dropped/overflowed lanes carry the
+        position sentinel n and sort last; positions < n are unique, so
+        after the sort lane i holds EITHER its answer (if answered) or a
+        later lane's... no: every answered position appears exactly once
+        and unanswered positions not at all, so the sorted prefix holds
+        answers packed by position -- realign by comparing the sorted
+        position stream against iota."""
         back = a2a(answers)                                 # [D, C] at sender
         flat_pos = jnp.where(in_bucket, send_orig, n)       # n = drop slot
-        out = jnp.zeros((n + 1,), jnp.int32).at[flat_pos.reshape(-1)].set(
-            back.reshape(-1), mode="drop")[:n]
-        answered = jnp.zeros((n + 1,), jnp.bool_).at[
-            flat_pos.reshape(-1)].set(True, mode="drop")[:n]
-        return jnp.where(answered, out, -1).reshape(words.lo.shape)
+        # union-sort delivery: answered lanes (tag 0) + one fill lane per
+        # output position (tag 1, value -1), sorted by (pos, tag).  An
+        # answered position (unique -- every query is sliced into at most
+        # one bucket slot) lands directly before its fill lane, so each
+        # fill lane takes its predecessor's value iff the packed position
+        # matches; a final sort by position of the fill lanes is the
+        # dense [n] answer array.
+        fill_pos = jnp.arange(n, dtype=jnp.int32)
+        fill_ans = jnp.full((n,), -1, jnp.int32)
+        packed = jnp.concatenate(
+            [flat_pos.reshape(-1) * 2, fill_pos * 2 + 1])
+        vals = jnp.concatenate([back.reshape(-1), fill_ans])
+        p2, v2 = jax.lax.sort((packed, vals), num_keys=1, is_stable=False)
+        is_fill = (p2 & 1) == 1
+        prev_v = jnp.concatenate([v2[:1] * 0 - 1, v2[:-1]])
+        prev_p = jnp.concatenate([p2[:1] | 1, p2[:-1]])
+        got = is_fill & (prev_p == (p2 & ~1))
+        dense = jnp.where(got, prev_v, -1)
+        _, out = jax.lax.sort(
+            (jnp.where(is_fill, p2 >> 1, jnp.int32(n)).astype(jnp.int32),
+             dense),
+            num_keys=1, is_stable=False)
+        return out[:n].reshape(words.lo.shape)
 
     return recv, recv_valid, reply, overflow

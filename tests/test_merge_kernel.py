@@ -177,3 +177,26 @@ def test_streaming_counter_fast_path_matches_reference(monkeypatch):
     assert sc_fast.to_pairs() == sc_ref.to_pairs()
     assert sc_fast.dropped_kmers == sc_ref.dropped_kmers > 0
     assert sc_fast.dropped_unique == sc_ref.dropped_unique > 0
+
+
+@pytest.mark.parametrize("cap,n_live,nq,bits,vf", [
+    (1024, 700, 2048, 12, 1.0),
+    (1024, 700, 2048, 12, 0.7),   # some invalid queries
+    (512, 0, 1024, 8, 1.0),       # empty table
+    (2048, 1500, 256, 40, 1.0),   # mostly-absent queries
+])
+def test_lookup_merge_matches_binary_search(cap, n_live, nq, bits, vf):
+    """Round-5 merge-based lookup (one streaming merge + sorts) vs the
+    binary-search reference -- identical answers incl. absent keys,
+    duplicate queries, and invalid query lanes."""
+    table, _ = make_table_and_units(cap, n_live, 1, 0, bits)
+    q_keys = RNG.integers(0, 1 << bits, nq).astype(np.uint64)
+    queries = U64(jnp.asarray((q_keys >> 32).astype(np.uint32)),
+                  jnp.asarray((q_keys & 0xFFFFFFFF).astype(np.uint32)))
+    valid = jnp.asarray(RNG.random(nq) < vf)
+    got = np.asarray(count_ops.lookup_merge(table, queries, valid=valid,
+                                            interpret=True))
+    want = np.asarray(count_ops.lookup(table, queries))
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(got[v], want[v])
+    assert (got[~v] == 0).all()

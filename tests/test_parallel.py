@@ -519,3 +519,37 @@ print("OK", n_dyn)
                        text=True, timeout=600, env=env)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK" in r.stdout
+
+
+def test_sharded_lookup_service_merge_mode():
+    """Round-5 merge-based lookup + scatter-free reply (interpret lane)
+    vs the same expectations as the binary-search service."""
+    requires_8_devices()
+    k, L = 21, 64
+    reads = _make_reads(32, L, n_frac=0.0)
+    m = mesh_ops.make_mesh(8)
+    counter = pipeline.make_sharded_counter(m, k, route_capacity=256)
+    res = counter(reads_to_batch(reads, L))
+    want = dict(_oracle_canonical_counts(reads, k))
+    present = list(want.keys())
+    queries, qvalid, expect = [], [], []
+    for i in range(64):
+        if i % 4 == 3:
+            queries.append(RNG.getrandbits(2 * k))  # k-space: absent-ish
+            qvalid.append(True)
+            expect.append(want.get(queries[-1], 0))
+        elif i % 4 == 2:
+            queries.append(0)
+            qvalid.append(False)
+            expect.append(-1)
+        else:
+            queries.append(present[i % len(present)])
+            qvalid.append(True)
+            expect.append(want[queries[-1]])
+    qa = as_u64(queries)
+    lookup_fn = pipeline.make_sharded_lookup(
+        m, query_capacity=64, max_k=k, merge_lookup=True, interpret=True)
+    counts, overflow = lookup_fn(res.table, qa.hi, qa.lo,
+                                 jnp.asarray(np.array(qvalid)))
+    assert int(overflow) == 0
+    assert list(np.asarray(counts)) == expect

@@ -208,6 +208,38 @@ def test_streaming_counter_on_device_exact():
     assert sc.kmers == sum(expect.values())
 
 
+def test_lookup_merge_compiled_matches_binary_search():
+    """Round-5 merge-based batch lookup, compiled on the chip, vs the
+    binary-search reference."""
+    from kmers_tpu.core.u64 import U64
+    from kmers_tpu.parallel import count as count_ops
+    from kmers_tpu.parallel.count import CountTable
+
+    rng = np.random.default_rng(31)
+    cap, n_live, nq = 1 << 14, 9000, 1 << 13
+    keys = np.zeros(cap, np.uint64)
+    keys[:n_live] = np.sort(rng.choice(2**60, n_live,
+                                       replace=False).astype(np.uint64))
+    table = CountTable(
+        keys=U64(jnp.asarray((keys >> 32).astype(np.uint32)),
+                 jnp.asarray((keys & 0xFFFFFFFF).astype(np.uint32))),
+        counts=jnp.asarray(np.where(np.arange(cap) < n_live,
+                                    rng.integers(1, 50, cap),
+                                    0).astype(np.int32)),
+        n_unique=jnp.int32(n_live))
+    qk = np.where(rng.random(nq) < 0.5,
+                  keys[rng.integers(0, n_live, nq)],
+                  rng.integers(0, 2**60, nq).astype(np.uint64))
+    queries = U64(jnp.asarray((qk >> 32).astype(np.uint32)),
+                  jnp.asarray((qk & 0xFFFFFFFF).astype(np.uint32)))
+    valid = jnp.asarray(rng.random(nq) < 0.9)
+    got = np.asarray(count_ops.lookup_merge(table, queries, valid=valid))
+    want = np.asarray(count_ops.lookup(table, queries))
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(got[v], want[v])
+    assert (got[~v] == 0).all()
+
+
 def test_streaming_fast_merge_compiled_matches_sort_path(monkeypatch):
     """Round-5 consolidation: the compiled Pallas merge+compress fast
     path vs the sort-based reference path, same batches, on the chip."""
