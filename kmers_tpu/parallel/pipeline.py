@@ -756,6 +756,63 @@ def expand_superkmers(planes, valid: jnp.ndarray, k: int, w: int):
     return fw, wv
 
 
+def _superkmer_prefilter_mode() -> str:
+    """"on" (TPU), "interpret" (KMERS_TPU_SK_PREFILTER=interpret -- CPU
+    test lane), or "off" (other backends / KMERS_TPU_SK_PREFILTER=0)."""
+    import os
+
+    env = os.environ.get("KMERS_TPU_SK_PREFILTER", "")
+    if env == "0":
+        return "off"
+    if env == "interpret":
+        return "interpret"
+    try:
+        return "on" if jax.default_backend() == "tpu" else "off"
+    except RuntimeError:  # pragma: no cover - no backend at trace time
+        return "off"
+
+
+def _prefilter_superkmers(owner: U64, start: jnp.ndarray, planes,
+                          budget: int, meta_off: Optional[int],
+                          n_planes: int, interpret: bool = False):
+    """Compact super-k-mer start lanes to the front and truncate to the
+    deliverable `budget` (streaming compress passes; kernels/merge.py).
+
+    Returns (owner', valid', planes', dropped_weight): lanes beyond the
+    budget are dropped and their k-mer mass (the meta window count)
+    summed into dropped_weight -- counted, never silent.  compress runs
+    in chunks of 3 planes over the SAME keep mask, so the chunked
+    outputs stay lane-aligned."""
+    from ..kernels import merge as kmerge
+
+    keep = start.reshape(-1).astype(jnp.uint8)
+    flat = [owner.hi.reshape(-1), owner.lo.reshape(-1)] + [
+        p.reshape(-1) for p in planes]
+    zeros = jnp.zeros_like(flat[0])
+    outs = []
+    for i in range(0, len(flat), 3):
+        chunk = flat[i:i + 3]
+        while len(chunk) < 3:
+            chunk = chunk + [zeros]
+        outs.extend(kmerge.compress_flagged(*chunk, keep,
+                                            interpret=interpret))
+    outs = outs[:len(flat)]
+    n_start = start.reshape(-1).sum(dtype=jnp.int32)
+    n_cap = min(budget, outs[0].shape[0])
+    pos = jnp.arange(outs[0].shape[0], dtype=jnp.int32)
+    # meta (k-mers per super-k-mer) of the dropped tail, from the last
+    # payload plane (folded layout) or the separate meta plane
+    meta_plane = outs[2 + n_planes - 1]
+    meta = ((meta_plane >> meta_off) & jnp.uint32(31)) if meta_off is not None \
+        else meta_plane
+    dropped_w = jnp.where((pos >= n_cap) & (pos < n_start),
+                          meta.astype(jnp.int32), 0).sum(dtype=jnp.int32)
+    valid = pos[:n_cap] < jnp.minimum(n_start, n_cap)
+    owner2 = U64(outs[0][:n_cap], outs[1][:n_cap])
+    planes2 = tuple(o[:n_cap] for o in outs[2:2 + n_planes])
+    return owner2, valid, planes2, dropped_w
+
+
 def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
                            route_capacity: int, seed: int = 0,
                            axis: str = "d", route_passes: int = 1,
@@ -792,10 +849,27 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
                                   "route_overflow", "route_rerouted",
                                   "route_bytes")},
     )
+    n_dev = mesh.shape[axis]
+    prefilter = _superkmer_prefilter_mode()
 
     def body(reads_local):
         owner, start, planes, kmers = emit_superkmers(reads_local, k, w,
                                                       seed)
+        n_superkmers = start.sum().astype(jnp.int32)
+        cap_dropped_w = jnp.int32(0)
+        if prefilter != "off":
+            # Compress-prefilter (round 5): super-k-mer lanes are sparse
+            # (~1 start per (k-w+2)/2 windows) but the owner sort pays
+            # for EVERY lane x (2 + n_planes) operands -- the measured
+            # partition floor.  Compact the start lanes (streaming
+            # compress passes) and hand the sort only the deliverable
+            # budget passes * D * capacity; lanes beyond it could not
+            # all fit the send buffers anyway and are counted
+            # meta-weighted like per-destination overflow.
+            owner, start, planes, cap_dropped_w = _prefilter_superkmers(
+                owner, start, planes, route_passes * n_dev * route_capacity,
+                meta_off if fold else None, n_planes,
+                interpret=prefilter == "interpret")
         routed = route_ops.route_payload(
             owner, start, planes, axis, route_capacity, seed,
             passes=route_passes, weight_plane=n_planes - 1,
@@ -814,11 +888,11 @@ def make_superkmer_counter(mesh: Mesh, k: int, w: int, *,
             "kmers_emitted": jax.lax.psum(kmers, axis),
             "windows_skipped": jax.lax.psum(
                 jnp.int32(reads_local.shape[0] * n_win) - kmers, axis),
-            "superkmers": jax.lax.psum(
-                start.sum().astype(jnp.int32), axis),
+            "superkmers": jax.lax.psum(n_superkmers, axis),
             # overflow in K-MERS (meta-weighted): comparable to the
-            # per-k-mer pipelines' counter
-            "route_overflow": jax.lax.psum(routed.overflow_weight, axis),
+            # per-k-mer pipelines' counter; includes prefilter-cap drops
+            "route_overflow": jax.lax.psum(
+                routed.overflow_weight + cap_dropped_w, axis),
             "route_rerouted": jax.lax.psum(routed.rerouted, axis),
             "route_bytes": jax.lax.psum(
                 jnp.int32(routed.valid.size * (4 * n_planes + 1)),

@@ -174,3 +174,48 @@ def test_sharded_streaming_counter_minimizer_partition():
     assert sh.route_superkmers > 0
     with pytest.raises(NotImplementedError):
         sh.update_packed(None, None)
+
+
+@pytest.mark.parametrize("aggregate", ["unit", "compact"])
+def test_superkmer_prefilter_table_bit_exact(monkeypatch, aggregate):
+    """Round-5 compress-prefilter (the owner sort sees only the
+    deliverable budget): same global table as the unfiltered path when
+    nothing is dropped."""
+    monkeypatch.setenv("KMERS_TPU_SK_PREFILTER", "interpret")
+    k, w = 21, 7
+    rows = genome_reads(64, 64)
+    m = mesh_ops.make_mesh(8)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=512,
+                                          route_passes=2,
+                                          aggregate=aggregate)
+    res = cnt(jax.device_put(jnp.asarray(rows), mesh_ops.batch_sharding(m)))
+    assert int(res.metrics["route_overflow"]) == 0
+    g = pipeline.global_table(res)
+    want = pipeline.count_reads(jnp.asarray(rows), k,
+                                aggregate="compact").table
+    nu = int(want.n_unique)
+    assert int(g.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(g.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+
+
+def test_superkmer_prefilter_cap_drops_counted(monkeypatch):
+    """When the prefilter budget truncates, the dropped k-mer mass is
+    meta-weighted into route_overflow: table mass + overflow == emitted
+    still holds exactly."""
+    monkeypatch.setenv("KMERS_TPU_SK_PREFILTER", "interpret")
+    k, w = 21, 7
+    rows = genome_reads(64, 64)
+    m = mesh_ops.make_mesh(8)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=8,
+                                          route_passes=1)
+    res = cnt(jax.device_put(jnp.asarray(rows), mesh_ops.batch_sharding(m)))
+    assert int(res.metrics["route_overflow"]) > 0
+    g = pipeline.global_table(res)
+    mass = int(np.asarray(g.counts).sum())
+    assert mass + int(res.metrics["route_overflow"]) == int(
+        res.metrics["kmers_emitted"])

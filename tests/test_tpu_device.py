@@ -208,6 +208,31 @@ def test_streaming_counter_on_device_exact():
     assert sc.kmers == sum(expect.values())
 
 
+def test_superkmer_pipeline_compiled_exact():
+    """Super-k-mer counting (mix16 Pallas minimizer emission +
+    compress-prefilter + routing) compiled on the chip, 1-device mesh:
+    global table bit-exact vs single-device counting."""
+    from kmers_tpu.parallel import mesh as mesh_ops, pipeline
+
+    k, w = 31, 11
+    reads = rand_reads(64, 256, n_rate=0.01)
+    m = mesh_ops.make_mesh(1)
+    cnt = pipeline.make_superkmer_counter(m, k, w, route_capacity=1 << 14,
+                                          aggregate="unit")
+    res = cnt(reads)
+    assert int(res.metrics["route_overflow"]) == 0
+    g = pipeline.global_table(res)
+    want = pipeline.count_reads(reads, k, aggregate="compact").table
+    nu = int(want.n_unique)
+    assert int(g.n_unique) == nu
+    np.testing.assert_array_equal(np.asarray(g.keys.hi)[:nu],
+                                  np.asarray(want.keys.hi)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.keys.lo)[:nu],
+                                  np.asarray(want.keys.lo)[:nu])
+    np.testing.assert_array_equal(np.asarray(g.counts)[:nu],
+                                  np.asarray(want.counts)[:nu])
+
+
 def test_lookup_merge_compiled_matches_binary_search():
     """Round-5 merge-based batch lookup, compiled on the chip, vs the
     binary-search reference."""
