@@ -470,3 +470,163 @@ def compress_flagged(hi, lo, pay, keep, block: int = 16384,
     )(offs, per_block, hi2, lo2, pay2, k2)
     return (o_hi.reshape(-1)[:n], o_lo.reshape(-1)[:n],
             o_pay.reshape(-1)[:n])
+
+
+# -- N-key-plane variant (wide keys: 33 <= k <= 63) ----------------------------
+
+def _bitonic_merge_n(keys, w, idx, n2: int):
+    """_bitonic_merge_4 generalized to `len(keys)` key planes: sort a
+    bitonic sequence by the strictly-distinct composite
+    (keys..., idx), carrying w."""
+    lin = (jax.lax.broadcasted_iota(jnp.int32, keys[0].shape, 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, keys[0].shape, 1))
+    s = n2 // 2
+    while s >= 1:
+        p_keys = [_xor_partner(kp, s) for kp in keys]
+        p_w = _xor_partner(w, s)
+        p_idx = _xor_partner(idx, s)
+        lt = jnp.zeros(keys[0].shape, jnp.bool_)
+        eq = jnp.ones(keys[0].shape, jnp.bool_)
+        for kp, pp in zip(keys, p_keys):
+            lt = lt | (eq & (kp < pp))
+            eq = eq & (kp == pp)
+        lt = lt | (eq & (idx < p_idx))
+        is_up = (lin & s) == 0
+        keep_self = is_up == lt
+        keys = [jnp.where(keep_self, kp, pp)
+                for kp, pp in zip(keys, p_keys)]
+        w = jnp.where(keep_self, w, p_w)
+        idx = jnp.where(keep_self, idx, p_idx)
+        s //= 2
+    return keys, w, idx
+
+
+def _merge_kernel_n(a_start_ref, b_fs_ref, *refs,
+                    tile: int, n_a: int, n_b: int, nk: int):
+    """_merge_kernel generalized to nk key planes.  refs layout:
+    nk A-key refs, 1 A-weight ref, nk flipped-B-key refs, then nk+1
+    output refs (keys + w), then 2*nk+1 VMEM scratch, then the DMA
+    semaphore array."""
+    n_in = 2 * nk + 1
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:n_in + nk + 1]
+    scratch = refs[n_in + nk + 1:n_in + nk + 1 + n_in]
+    sems = refs[n_in + nk + 1 + n_in]
+    RW = tile // LANES
+    t = pl.program_id(0)
+    a0 = a_start_ref[t]
+    fs = b_fs_ref[t]
+
+    cps = []
+    for slot, (src, dst) in enumerate(zip(in_refs, scratch)):
+        start = a0 if slot <= nk else fs
+        cp = pltpu.make_async_copy(
+            src.at[pl.ds(start // LANES, RW + 8), :], dst, sems.at[slot])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    a_off = jax.lax.rem(a0, LANES)
+    b_off = jax.lax.rem(fs, LANES)
+    wa = [_window_extract(scratch[i][:], a_off, RW) for i in range(nk + 1)]
+    wb = [_window_extract(scratch[nk + 1 + i][:], b_off, RW)
+          for i in range(nk)]
+
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 1))
+    idx_a = (a0 + lin).astype(jnp.uint32)
+    pf = tile
+    b_of_lin = (pf + n_b - 1) - (fs + lin)
+    idx_b = jnp.uint32(1 << 31) + b_of_lin.astype(jnp.uint32)
+    wb_w = (wb[0] >> 31) ^ jnp.uint32(1)   # flag in the MS key plane
+
+    keys = [jnp.concatenate([wa[i], wb[i]], axis=0) for i in range(nk)]
+    w = jnp.concatenate([wa[nk], wb_w], axis=0)
+    idx = jnp.concatenate([idx_a, idx_b], axis=0)
+
+    s_keys, s_w, _ = _bitonic_merge_n(keys, w, idx, 2 * tile)
+    for i in range(nk):
+        out_refs[i][:] = s_keys[i][:RW]
+    out_refs[nk][:] = s_w[:RW]
+
+
+def _le_lex(a_vals, b_vals):
+    lt = None
+    eq = None
+    for av, bv in zip(a_vals, b_vals):
+        if lt is None:
+            lt = av < bv
+            eq = av == bv
+        else:
+            lt = lt | (eq & (av < bv))
+            eq = eq & (av == bv)
+    return lt | eq
+
+
+def _merge_path_search_n(a_keys, b_keys, tile: int, n_out: int):
+    """_merge_path_search over nk-plane lexicographic keys."""
+    n_a, n_b = a_keys[0].shape[0], b_keys[0].shape[0]
+    T = n_out // tile
+    d = jnp.arange(T, dtype=jnp.int32) * tile
+    lo_b = jnp.maximum(0, d - n_b)
+    hi_b = jnp.minimum(d, n_a)
+    steps = max(1, int(n_a).bit_length())
+    for _ in range(steps):
+        mid = (lo_b + hi_b + 1) // 2
+        ai = jnp.clip(mid - 1, 0, n_a - 1)
+        bi = jnp.clip(d - mid, 0, max(n_b - 1, 0))
+        ok = _le_lex([kp[ai] for kp in a_keys], [kp[bi] for kp in b_keys])
+        ok = ok | (mid - 1 < 0)
+        ok = ok | (d - mid >= n_b)
+        take = ok & (mid <= hi_b)
+        lo_b = jnp.where(take, mid, lo_b)
+        hi_b = jnp.where(take, hi_b, mid - 1)
+    return lo_b
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
+                      interpret: bool = False):
+    """merge_sorted for 128-bit keys: a_keys / b_keys are 4-tuples of
+    uint32 planes, MOST significant first (UnitTableWide layout: the
+    folded dead flag is bit 31 of plane 0).  Returns (keys 4-tuple, w)
+    of length round_up(nA+nB, tile)."""
+    assert tile % (8 * LANES) == 0
+    nk = len(a_keys)
+    assert nk == len(b_keys)
+    n_a, n_b = a_keys[0].shape[0], b_keys[0].shape[0]
+    n_out = _round_up(max(n_a + n_b, tile), tile)
+    T = n_out // tile
+    a_starts = _merge_path_search_n(a_keys, b_keys, tile, n_out)
+    b_fs = n_b - (jnp.arange(T, dtype=jnp.int32) * tile - a_starts)
+
+    MAXU = 0xFFFFFFFF
+    la = _round_up(n_a + tile + 9 * LANES, LANES)
+    lb = _round_up(tile + n_b + 9 * LANES, LANES)
+    pad_front = jnp.full((tile,), MAXU, jnp.uint32)
+    a2 = [_pad_plane_2d(kp, la, MAXU) for kp in a_keys]
+    a2.append(_pad_plane_2d(a_w.astype(jnp.uint32), la, 0))
+    b2 = [_pad_plane_2d(jnp.concatenate([pad_front, jnp.flip(kp)]),
+                        lb, MAXU) for kp in b_keys]
+
+    RW = tile // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nk + 1),
+        out_specs=[pl.BlockSpec((RW, LANES), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM)] * (nk + 1),
+        scratch_shapes=[pltpu.VMEM((RW + 8, LANES), jnp.uint32)
+                        for _ in range(2 * nk + 1)]
+        + [pltpu.SemaphoreType.DMA((2 * nk + 1,))],
+    )
+    out2 = jax.ShapeDtypeStruct((n_out // LANES, LANES), jnp.uint32)
+    outs = pl.pallas_call(
+        functools.partial(_merge_kernel_n, tile=tile, n_a=n_a, n_b=n_b,
+                          nk=nk),
+        grid_spec=grid_spec,
+        out_shape=(out2,) * (nk + 1),
+        interpret=interpret,
+    )(a_starts, b_fs, *a2, *b2)
+    return tuple(o.reshape(-1) for o in outs[:nk]), outs[nk].reshape(-1)

@@ -837,6 +837,57 @@ def merge_tables_wide(a: CountTableWide, b: CountTableWide,
     return merge_many_wide([a, b], max_k=max_k)
 
 
+def merge_table_with_sorted_units_wide(table: CountTableWide,
+                                       sorted_units: U128,
+                                       interpret: bool = False
+                                       ) -> CountTableWide:
+    """merge_table_with_sorted_units for 128-bit keys (33 <= k <= 63):
+    the wide streaming-consolidation fast path.  sorted_units must be
+    ascending by (hi.hi, hi.lo, lo.hi, lo.lo) with the folded dead flag
+    (bit 31 of hi.hi) sorted last.  Bit-identical to
+    merge_many_wide((table, UnitTableWide(sorted_units)))."""
+    from ..kernels import merge as kmerge
+
+    cap = table.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    live = idx < table.n_unique
+    maxu = jnp.uint32(0xFFFFFFFF)
+    mk = table.keys
+    a_keys = tuple(jnp.where(live, p, maxu)
+                   for p in (mk.hi.hi, mk.hi.lo, mk.lo.hi, mk.lo.lo))
+    a_w = jnp.where(live, table.counts, 0).astype(jnp.uint32)
+    b_keys = (sorted_units.hi.hi.reshape(-1),
+              sorted_units.hi.lo.reshape(-1),
+              sorted_units.lo.hi.reshape(-1),
+              sorted_units.lo.lo.reshape(-1))
+    m_keys, m_w = kmerge.merge_sorted_wide(a_keys, a_w, b_keys,
+                                           interpret=interpret)
+    k3, k2, k1, k0 = m_keys
+    n = k3.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = (k3 >> 31) == 0
+    prev = [jnp.concatenate([p[:1] ^ jnp.uint32(i == 0), p[:-1]])
+            for i, p in enumerate(m_keys)]
+    starts = valid & ((k3 != prev[0]) | (k2 != prev[1])
+                      | (k1 != prev[2]) | (k0 != prev[3]))
+    mw = jnp.where(valid, m_w, 0).astype(jnp.uint32)
+    csum = jnp.cumsum(mw)
+    csum_excl = csum - mw
+    keep = starts.astype(jnp.uint8)
+    # two aligned compress passes over the same keep mask
+    c3, c2, c1 = kmerge.compress_flagged(k3, k2, k1, keep,
+                                         interpret=interpret)
+    c0, c_excl, _ = kmerge.compress_flagged(k0, csum_excl, k0, keep,
+                                            interpret=interpret)
+    n_unique = starts.sum(dtype=jnp.int32)
+    live2 = pos < n_unique
+    counts = _counts_from_positions(c_excl, pos, n_unique,
+                                    csum[-1]).astype(jnp.int32)
+    z = lambda x: jnp.where(live2, x, 0)
+    keys = U128(U64(z(c3), z(c2)), U64(z(c1), z(c0)))
+    return CountTableWide(keys=keys, counts=counts, n_unique=n_unique)
+
+
 def lookup_wide(table: CountTableWide, queries: U128) -> jnp.ndarray:
     """Count of each 128-bit query word (0 if absent): branch-free binary
     search over the sorted key region (mirror of lookup)."""

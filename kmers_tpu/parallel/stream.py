@@ -83,6 +83,23 @@ def _merge_bounded_streaming(table: CountTable, pending: tuple,
     return _bound_table(merged, capacity)
 
 
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def _merge_bounded_streaming_wide(table: CountTableWide, pending: tuple,
+                                  capacity: int, interpret: bool = False):
+    """_merge_bounded_streaming for 128-bit keys (33 <= k <= 63, unit
+    pendings): one 4-operand pending sort + the wide Pallas merge and
+    compress passes."""
+    hh = jnp.concatenate([t.keys.hi.hi.reshape(-1) for t in pending])
+    hl = jnp.concatenate([t.keys.hi.lo.reshape(-1) for t in pending])
+    lh = jnp.concatenate([t.keys.lo.hi.reshape(-1) for t in pending])
+    ll = jnp.concatenate([t.keys.lo.lo.reshape(-1) for t in pending])
+    s = jax.lax.sort((hh, hl, lh, ll), num_keys=4, is_stable=False)
+    merged = count_ops.merge_table_with_sorted_units_wide(
+        table, U128(U64(s[0], s[1]), U64(s[2], s[3])),
+        interpret=interpret)
+    return _bound_table_wide(merged, capacity)
+
+
 def _stream_merge_mode() -> str:
     """Dispatch mode of the streaming consolidation fast path:
     "on" (TPU backend), "off" (other backends, or KMERS_TPU_STREAM_MERGE=0
@@ -159,6 +176,10 @@ def _merge_bounded_wide(table: CountTableWide, pending: tuple, capacity: int,
     same free-slice fast path when the merged table fits."""
     merged = count_ops.merge_many_wide((table,) + tuple(pending),
                                        max_k=max_k)
+    return _bound_table_wide(merged, capacity)
+
+
+def _bound_table_wide(merged: CountTableWide, capacity: int):
     idx = jnp.arange(merged.capacity, dtype=jnp.int32)
 
     def no_evict(m: CountTableWide):
@@ -304,6 +325,12 @@ class StreamingCounter:
             # sort + Pallas merge/compress passes -- bit-identical table,
             # ~2.5x cheaper than the sort-based consolidation
             new_table, du, dk = _merge_bounded_streaming(
+                self.table, tuple(pending), self.capacity,
+                interpret=mode == "interpret")
+        elif (mode != "off" and self.wide
+              and all(isinstance(t, count_ops.UnitTableWide)
+                      for t in pending)):
+            new_table, du, dk = _merge_bounded_streaming_wide(
                 self.table, tuple(pending), self.capacity,
                 interpret=mode == "interpret")
         else:

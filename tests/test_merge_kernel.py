@@ -200,3 +200,92 @@ def test_lookup_merge_matches_binary_search(cap, n_live, nq, bits, vf):
     v = np.asarray(valid)
     np.testing.assert_array_equal(got[v], want[v])
     assert (got[~v] == 0).all()
+
+
+def make_wide_table_and_units(cap, n_live, n_units, valid_frac, bits):
+    from kmers_tpu.core.u128 import U128
+    from kmers_tpu.parallel.count import CountTableWide, UnitTableWide
+
+    keys = np.sort(RNG.integers(0, 1 << bits, n_live).astype(np.object_))
+    keys = sorted(set(int(x) for x in keys))
+    n_live = len(keys)
+    planes = np.zeros((4, cap), np.uint32)
+    for i, kv in enumerate(keys):
+        for j in range(4):
+            planes[j, i] = (kv >> (32 * (3 - j))) & 0xFFFFFFFF
+    counts = np.zeros(cap, np.int32)
+    counts[:n_live] = RNG.integers(1, 100, n_live)
+    from kmers_tpu.core.u64 import U64 as U64_
+
+    table = CountTableWide(
+        keys=U128(U64_(jnp.asarray(planes[0]), jnp.asarray(planes[1])),
+                  U64_(jnp.asarray(planes[2]), jnp.asarray(planes[3]))),
+        counts=jnp.asarray(counts), n_unique=jnp.int32(n_live))
+    uk = [int(x) for x in RNG.integers(0, 1 << bits, n_units)]
+    uv = RNG.random(n_units) < valid_frac
+    up = np.zeros((4, n_units), np.uint32)
+    for i, kv in enumerate(uk):
+        if uv[i]:
+            for j in range(4):
+                up[j, i] = (kv >> (32 * (3 - j))) & 0xFFFFFFFF
+        else:
+            up[0, i] = 0x80000000
+    unit = UnitTableWide(
+        keys=U128(U64_(jnp.asarray(up[0]), jnp.asarray(up[1])),
+                  U64_(jnp.asarray(up[2]), jnp.asarray(up[3]))))
+    return table, unit
+
+
+@pytest.mark.parametrize("cap,n_live,n_units,valid_frac,bits", [
+    (2048, 1500, 4096, 0.8, 40),
+    (1024, 0, 2048, 0.5, 8),
+    (1024, 300, 8192, 1.0, 6),    # heavy duplicates
+])
+def test_merge_table_with_sorted_units_wide_matches_merge_many(
+        cap, n_live, n_units, valid_frac, bits):
+    from kmers_tpu.core.u128 import U128
+    from kmers_tpu.core.u64 import U64 as U64_
+
+    table, unit = make_wide_table_and_units(cap, n_live, n_units,
+                                            valid_frac, bits)
+    want = count_ops.merge_many_wide([table, unit], max_k=63)
+    uk = unit.keys
+    s = jax.lax.sort((uk.hi.hi, uk.hi.lo, uk.lo.hi, uk.lo.lo),
+                     num_keys=4, is_stable=False)
+    got = count_ops.merge_table_with_sorted_units_wide(
+        table, U128(U64_(s[0], s[1]), U64_(s[2], s[3])), interpret=True)
+    nu = int(want.n_unique)
+    assert int(got.n_unique) == nu
+    for a, b in ((got.keys.hi.hi, want.keys.hi.hi),
+                 (got.keys.hi.lo, want.keys.hi.lo),
+                 (got.keys.lo.hi, want.keys.lo.hi),
+                 (got.keys.lo.lo, want.keys.lo.lo),
+                 (got.counts, want.counts)):
+        np.testing.assert_array_equal(np.asarray(a)[:nu],
+                                      np.asarray(b)[:nu])
+    assert (np.asarray(got.counts)[nu:] == 0).all()
+
+
+def test_streaming_counter_wide_fast_path_matches_reference(monkeypatch):
+    """Wide (k=47) StreamingCounter: the Pallas fast path vs the
+    sort-based path, same batches."""
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    rng = np.random.default_rng(12)
+    arrs = [jnp.asarray(rng.choice(
+        np.frombuffer(b"ACGTN", dtype=np.uint8), size=(8, 96),
+        p=[.24, .24, .24, .24, .04])) for _ in range(4)]
+    k = 47
+
+    def run():
+        sc = StreamingCounter(k, capacity=4096, merge_every=2)
+        for a in arrs:
+            sc.update(a)
+        return sc
+
+    monkeypatch.setenv("KMERS_TPU_STREAM_MERGE", "0")
+    ref = run()
+    monkeypatch.setenv("KMERS_TPU_STREAM_MERGE", "interpret")
+    fast = run()
+    assert fast.to_pairs() == ref.to_pairs()
+    assert fast.kmers == ref.kmers > 0

@@ -208,6 +208,29 @@ def test_streaming_counter_on_device_exact():
     assert sc.kmers == sum(expect.values())
 
 
+def test_streaming_wide_fast_merge_compiled_matches_sort_path(monkeypatch):
+    """Wide (k=47) streaming consolidation: compiled Pallas fast path vs
+    the sort path, on the chip."""
+    from kmers_tpu.parallel.stream import StreamingCounter
+
+    k = 47
+    rows = np.asarray(rand_reads(128, 96))
+
+    def run():
+        sc = StreamingCounter(k, capacity=1 << 13, merge_every=2)
+        for i in range(0, 128, 32):
+            sc.update(jnp.asarray(rows[i:i + 32]))
+        sc._consolidate()
+        return sc
+
+    monkeypatch.setenv("KMERS_TPU_STREAM_MERGE", "0")
+    ref = run()
+    monkeypatch.delenv("KMERS_TPU_STREAM_MERGE")
+    fast = run()
+    assert fast.to_pairs() == ref.to_pairs()
+    assert fast.kmers == ref.kmers > 0
+
+
 def test_superkmer_pipeline_compiled_exact():
     """Super-k-mer counting (mix16 Pallas minimizer emission +
     compress-prefilter + routing) compiled on the chip, 1-device mesh:
