@@ -48,10 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _le_u64(ah, al, bh, bl):
-    return (ah < bh) | ((ah == bh) & (al <= bl))
-
-
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -109,34 +105,6 @@ def _xor_partner(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.where((row & m) == 0, down, up)
 
 
-def _bitonic_merge_4(hi, lo, w, idx, n2: int):
-    """Sort a bitonic [R2, LANES] sequence (R2*LANES = n2 lanes) by the
-    strictly-distinct composite key (hi, lo, idx), carrying w.  log2(n2)
-    compare-exchange stages, static strides.
-
-    The composite key is distinct across lanes, so the up-lane of every
-    pair keeps the strict minimum and the down-lane the strict maximum --
-    complementary selections, no tie ambiguity."""
-    lin = (jax.lax.broadcasted_iota(jnp.int32, hi.shape, 0) * LANES
-           + jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1))
-    s = n2 // 2
-    while s >= 1:
-        p_hi = _xor_partner(hi, s)
-        p_lo = _xor_partner(lo, s)
-        p_w = _xor_partner(w, s)
-        p_idx = _xor_partner(idx, s)
-        lt = ((hi < p_hi) | ((hi == p_hi) &
-                            ((lo < p_lo) | ((lo == p_lo) & (idx < p_idx)))))
-        is_up = (lin & s) == 0
-        keep_self = is_up == lt      # up keeps self iff smaller; down iff larger
-        hi = jnp.where(keep_self, hi, p_hi)
-        lo = jnp.where(keep_self, lo, p_lo)
-        w = jnp.where(keep_self, w, p_w)
-        idx = jnp.where(keep_self, idx, p_idx)
-        s //= 2
-    return hi, lo, w, idx
-
-
 def _window_extract(vbuf: jnp.ndarray, off, RW: int) -> jnp.ndarray:
     """First TILE lanes starting at dynamic in-row offset `off` (0..127)
     of a [RW+1, LANES] DMA landing buffer: one dynamic lane roll + static
@@ -147,95 +115,6 @@ def _window_extract(vbuf: jnp.ndarray, off, RW: int) -> jnp.ndarray:
     yb = y[1:RW + 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 1)
     return jnp.where(lane < LANES - off, ya, yb)
-
-
-def _merge_kernel(a_start_ref, b_fs_ref,
-                  a_hi_ref, a_lo_ref, a_w_ref, bf_hi_ref, bf_lo_ref,
-                  *out_and_scratch,
-                  tile: int, n_a: int, n_b: int, with_idx: bool):
-    if with_idx:
-        (out_hi_ref, out_lo_ref, out_w_ref, out_idx_ref,
-         va_hi, va_lo, va_w, vb_hi, vb_lo, sems) = out_and_scratch
-    else:
-        (out_hi_ref, out_lo_ref, out_w_ref,
-         va_hi, va_lo, va_w, vb_hi, vb_lo, sems) = out_and_scratch
-        out_idx_ref = None
-    RW = tile // LANES
-    t = pl.program_id(0)
-    a0 = a_start_ref[t]
-    fs = b_fs_ref[t]
-
-    def dma(src, dst, start, slot):
-        # row count RW + 8: Mosaic's HBM<->VMEM DMA faults on row counts
-        # that are not multiples (or divisors) of the 8-sublane tile --
-        # measured on v5e: 2/4/8/16-row copies are exact at ARBITRARY row
-        # offsets, 6/9-row copies crash the worker.  Only the first RW+1
-        # rows are consumed.
-        cp = pltpu.make_async_copy(
-            src.at[pl.ds(start // LANES, RW + 8), :], dst, sems.at[slot])
-        cp.start()
-        return cp
-
-    cps = [dma(a_hi_ref, va_hi, a0, 0), dma(a_lo_ref, va_lo, a0, 1),
-           dma(a_w_ref, va_w, a0, 2), dma(bf_hi_ref, vb_hi, fs, 3),
-           dma(bf_lo_ref, vb_lo, fs, 4)]
-    for cp in cps:
-        cp.wait()
-
-    a_off = jax.lax.rem(a0, LANES)
-    b_off = jax.lax.rem(fs, LANES)
-    wa_hi = _window_extract(va_hi[:], a_off, RW)
-    wa_lo = _window_extract(va_lo[:], a_off, RW)
-    wa_w = _window_extract(va_w[:], a_off, RW)
-    wb_hi = _window_extract(vb_hi[:], b_off, RW)
-    wb_lo = _window_extract(vb_lo[:], b_off, RW)
-
-    lin = (jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 0) * LANES
-           + jax.lax.broadcasted_iota(jnp.int32, (RW, LANES), 1))
-    # composite tie-break index: A = global A position (bit 31 clear for
-    # real lanes; pad lanes are key-sentinel anyway), B = 0x80000000 + b
-    # (b ascending = the merge-path index order).  B window is in FLIPPED
-    # coords: global flipped pos = fs + lin; b = (PF + n_b - 1) - that.
-    idx_a = (a0 + lin).astype(jnp.uint32)
-    pf = tile
-    b_of_lin = (pf + n_b - 1) - (fs + lin)
-    idx_b = jnp.uint32(1 << 31) + b_of_lin.astype(jnp.uint32)
-    wb_w = (wb_hi >> 31) ^ jnp.uint32(1)     # folded-flag weight (pads: 0)
-
-    hi = jnp.concatenate([wa_hi, wb_hi], axis=0)
-    lo = jnp.concatenate([wa_lo, wb_lo], axis=0)
-    w = jnp.concatenate([wa_w, wb_w], axis=0)
-    idx = jnp.concatenate([idx_a, idx_b], axis=0)
-
-    s_hi, s_lo, s_w, s_idx = _bitonic_merge_4(hi, lo, w, idx, 2 * tile)
-    out_hi_ref[:] = s_hi[:RW]
-    out_lo_ref[:] = s_lo[:RW]
-    out_w_ref[:] = s_w[:RW]
-    if with_idx:
-        out_idx_ref[:] = s_idx[:RW]
-
-
-def _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile: int, n_out: int):
-    """Vectorized merge-path boundary search: for each tile boundary
-    d_t = t*tile, the largest a with key(A[a-1]) <= key(B[d-a]) (A-first
-    ties), a in [max(0, d-nB), min(d, nA)].  Returns a_starts [T] i32."""
-    n_a, n_b = a_hi.shape[0], b_hi.shape[0]
-    T = n_out // tile
-    d = jnp.arange(T, dtype=jnp.int32) * tile
-    lo_b = jnp.maximum(0, d - n_b)
-    hi_b = jnp.minimum(d, n_a)
-    steps = max(1, int(n_a).bit_length())
-    for _ in range(steps):
-        mid = (lo_b + hi_b + 1) // 2
-        ai = jnp.clip(mid - 1, 0, n_a - 1)
-        bi = jnp.clip(d - mid, 0, max(n_b - 1, 0))
-        ok = _le_u64(a_hi[ai], a_lo[ai], b_hi[bi], b_lo[bi])
-        ok = ok | (mid - 1 < 0)                  # A[-1] = -inf
-        ok = ok | (d - mid >= n_b)               # B[>=nB] = +inf
-        take = ok & (mid <= hi_b)
-        lo_b = jnp.where(take, mid, lo_b)
-        hi_b = jnp.where(take, hi_b, mid - 1)
-    return lo_b
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret",
@@ -250,49 +129,17 @@ def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 8192,
     Both inputs must be ascending by (hi, lo) with dead/sentinel lanes
     (bit 31 of hi set) sorted last.  Equal real keys merge in A-then-B
     index order (irrelevant to the weighted re-count, but deterministic).
+
+    with_idx=True additionally returns the composite source-index plane:
+    bit 31 set = a B lane, low bits = its rank in B (A lanes: rank in A).
+    The merge-based lookup keys on it (count.lookup_merge).
+
+    One implementation serves both key widths: this is _merge_sorted_impl
+    at nk=2; merge_sorted_wide is the same at nk=4.
     """
-    assert tile % (8 * LANES) == 0, "output block rows must be 8-aligned"
-    n_a, n_b = a_hi.shape[0], b_hi.shape[0]
-    n_out = _round_up(max(n_a + n_b, tile), tile)
-    T = n_out // tile
-    a_starts = _merge_path_search(a_hi, a_lo, b_hi, b_lo, tile, n_out)
-    b_fs = n_b - (jnp.arange(T, dtype=jnp.int32) * tile - a_starts)
-
-    MAXU = 0xFFFFFFFF
-    # DMA windows read RW + 8 rows from start//LANES: pad both
-    # inputs past their logical end accordingly
-    la = _round_up(n_a + tile + 9 * LANES, LANES)
-    a_hi2 = _pad_plane_2d(a_hi, la, MAXU)
-    a_lo2 = _pad_plane_2d(a_lo, la, MAXU)
-    a_w2 = _pad_plane_2d(a_w.astype(jnp.uint32), la, 0)
-    # flipped B with a tile-sized MAX front pad (covers b >= nB reads)
-    lb = _round_up(tile + n_b + 9 * LANES, LANES)
-    pad_front = jnp.full((tile,), MAXU, jnp.uint32)
-    bf_hi = _pad_plane_2d(jnp.concatenate([pad_front, jnp.flip(b_hi)]),
-                          lb, MAXU)
-    bf_lo = _pad_plane_2d(jnp.concatenate([pad_front, jnp.flip(b_lo)]),
-                          lb, MAXU)
-
-    RW = tile // LANES
-    n_outs = 4 if with_idx else 3
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
-        out_specs=[pl.BlockSpec((RW, LANES), lambda t, *_: (t, 0),
-                                memory_space=pltpu.VMEM)] * n_outs,
-        scratch_shapes=[pltpu.VMEM((RW + 8, LANES), jnp.uint32)
-                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5,))],
-    )
-    out2 = jax.ShapeDtypeStruct((n_out // LANES, LANES), jnp.uint32)
-    outs = pl.pallas_call(
-        functools.partial(_merge_kernel, tile=tile, n_a=n_a, n_b=n_b,
-                          with_idx=with_idx),
-        grid_spec=grid_spec,
-        out_shape=(out2,) * n_outs,
-        interpret=interpret,
-    )(a_starts, b_fs, a_hi2, a_lo2, a_w2, bf_hi, bf_lo)
-    return tuple(o.reshape(-1) for o in outs)
+    keys, w, *rest = _merge_sorted_impl((a_hi, a_lo), a_w, (b_hi, b_lo),
+                                        tile, interpret, with_idx)
+    return (keys[0], keys[1], w, *rest)
 
 
 # -- streaming compress (the compaction sort replacement) ----------------------
@@ -475,9 +322,11 @@ def compress_flagged(hi, lo, pay, keep, block: int = 16384,
 # -- N-key-plane variant (wide keys: 33 <= k <= 63) ----------------------------
 
 def _bitonic_merge_n(keys, w, idx, n2: int):
-    """_bitonic_merge_4 generalized to `len(keys)` key planes: sort a
-    bitonic sequence by the strictly-distinct composite
-    (keys..., idx), carrying w."""
+    """Sort a bitonic [R2, LANES] sequence by the strictly-distinct
+    composite key (keys..., idx), carrying w: log2(n2) compare-exchange
+    stages, static strides.  Distinct keys mean the up-lane of every
+    pair keeps the strict minimum and the down-lane the maximum --
+    complementary selections, no tie ambiguity."""
     lin = (jax.lax.broadcasted_iota(jnp.int32, keys[0].shape, 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, keys[0].shape, 1))
     s = n2 // 2
@@ -502,16 +351,24 @@ def _bitonic_merge_n(keys, w, idx, n2: int):
 
 
 def _merge_kernel_n(a_start_ref, b_fs_ref, *refs,
-                    tile: int, n_a: int, n_b: int, nk: int):
-    """_merge_kernel generalized to nk key planes.  refs layout:
-    nk A-key refs, 1 A-weight ref, nk flipped-B-key refs, then nk+1
-    output refs (keys + w), then 2*nk+1 VMEM scratch, then the DMA
-    semaphore array."""
+                    tile: int, n_a: int, n_b: int, nk: int,
+                    with_idx: bool):
+    """The merge kernel over nk key planes.  refs layout: nk A-key refs,
+    1 A-weight ref, nk flipped-B-key refs, then nk+1 (+1 if with_idx)
+    output refs (keys + w [+ source index]), then 2*nk+1 VMEM scratch,
+    then the DMA semaphore array.
+
+    DMA row count RW + 8: Mosaic's HBM<->VMEM DMA faults on row counts
+    that are not multiples (or divisors) of the 8-sublane tile --
+    measured on v5e: 2/4/8/16-row copies are exact at ARBITRARY row
+    offsets, 6/9-row copies crash the worker.  Only the first RW+1 rows
+    are consumed."""
     n_in = 2 * nk + 1
+    n_o = nk + 1 + (1 if with_idx else 0)
     in_refs = refs[:n_in]
-    out_refs = refs[n_in:n_in + nk + 1]
-    scratch = refs[n_in + nk + 1:n_in + nk + 1 + n_in]
-    sems = refs[n_in + nk + 1 + n_in]
+    out_refs = refs[n_in:n_in + n_o]
+    scratch = refs[n_in + n_o:n_in + n_o + n_in]
+    sems = refs[n_in + n_o + n_in]
     RW = tile // LANES
     t = pl.program_id(0)
     a0 = a_start_ref[t]
@@ -545,10 +402,12 @@ def _merge_kernel_n(a_start_ref, b_fs_ref, *refs,
     w = jnp.concatenate([wa[nk], wb_w], axis=0)
     idx = jnp.concatenate([idx_a, idx_b], axis=0)
 
-    s_keys, s_w, _ = _bitonic_merge_n(keys, w, idx, 2 * tile)
+    s_keys, s_w, s_idx = _bitonic_merge_n(keys, w, idx, 2 * tile)
     for i in range(nk):
         out_refs[i][:] = s_keys[i][:RW]
     out_refs[nk][:] = s_w[:RW]
+    if with_idx:
+        out_refs[nk + 1][:] = s_idx[:RW]
 
 
 def _le_lex(a_vals, b_vals):
@@ -565,7 +424,10 @@ def _le_lex(a_vals, b_vals):
 
 
 def _merge_path_search_n(a_keys, b_keys, tile: int, n_out: int):
-    """_merge_path_search over nk-plane lexicographic keys."""
+    """Vectorized merge-path boundary search over nk-plane lexicographic
+    keys: for each tile boundary d_t = t*tile, the largest a with
+    key(A[a-1]) <= key(B[d-a]) (A-first ties), a in
+    [max(0, d-nB), min(d, nA)].  Returns a_starts [T] i32."""
     n_a, n_b = a_keys[0].shape[0], b_keys[0].shape[0]
     T = n_out // tile
     d = jnp.arange(T, dtype=jnp.int32) * tile
@@ -585,14 +447,11 @@ def _merge_path_search_n(a_keys, b_keys, tile: int, n_out: int):
     return lo_b
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
-                      interpret: bool = False):
-    """merge_sorted for 128-bit keys: a_keys / b_keys are 4-tuples of
-    uint32 planes, MOST significant first (UnitTableWide layout: the
-    folded dead flag is bit 31 of plane 0).  Returns (keys 4-tuple, w)
-    of length round_up(nA+nB, tile)."""
-    assert tile % (8 * LANES) == 0
+def _merge_sorted_impl(a_keys, a_w, b_keys, tile: int,
+                       interpret: bool, with_idx: bool):
+    """Shared nk-plane merge-path merge (see merge_sorted's contract).
+    Returns (keys tuple, w[, idx])."""
+    assert tile % (8 * LANES) == 0, "output block rows must be 8-aligned"
     nk = len(a_keys)
     assert nk == len(b_keys)
     n_a, n_b = a_keys[0].shape[0], b_keys[0].shape[0]
@@ -602,6 +461,9 @@ def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
     b_fs = n_b - (jnp.arange(T, dtype=jnp.int32) * tile - a_starts)
 
     MAXU = 0xFFFFFFFF
+    # DMA windows read RW + 8 rows from start//LANES: pad both inputs
+    # past their logical end accordingly; flipped B gets a tile-sized MAX
+    # front pad (covers b >= nB reads)
     la = _round_up(n_a + tile + 9 * LANES, LANES)
     lb = _round_up(tile + n_b + 9 * LANES, LANES)
     pad_front = jnp.full((tile,), MAXU, jnp.uint32)
@@ -611,12 +473,13 @@ def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
                         lb, MAXU) for kp in b_keys]
 
     RW = tile // LANES
+    n_outs = nk + 1 + (1 if with_idx else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * nk + 1),
         out_specs=[pl.BlockSpec((RW, LANES), lambda t, *_: (t, 0),
-                                memory_space=pltpu.VMEM)] * (nk + 1),
+                                memory_space=pltpu.VMEM)] * n_outs,
         scratch_shapes=[pltpu.VMEM((RW + 8, LANES), jnp.uint32)
                         for _ in range(2 * nk + 1)]
         + [pltpu.SemaphoreType.DMA((2 * nk + 1,))],
@@ -624,9 +487,23 @@ def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
     out2 = jax.ShapeDtypeStruct((n_out // LANES, LANES), jnp.uint32)
     outs = pl.pallas_call(
         functools.partial(_merge_kernel_n, tile=tile, n_a=n_a, n_b=n_b,
-                          nk=nk),
+                          nk=nk, with_idx=with_idx),
         grid_spec=grid_spec,
-        out_shape=(out2,) * (nk + 1),
+        out_shape=(out2,) * n_outs,
         interpret=interpret,
     )(a_starts, b_fs, *a2, *b2)
-    return tuple(o.reshape(-1) for o in outs[:nk]), outs[nk].reshape(-1)
+    flat = [o.reshape(-1) for o in outs]
+    if with_idx:
+        return tuple(flat[:nk]), flat[nk], flat[nk + 1]
+    return tuple(flat[:nk]), flat[nk]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
+                      interpret: bool = False):
+    """merge_sorted for 128-bit keys: a_keys / b_keys are 4-tuples of
+    uint32 planes, MOST significant first (UnitTableWide layout: the
+    folded dead flag is bit 31 of plane 0).  Returns (keys 4-tuple, w)
+    of length round_up(nA+nB, tile)."""
+    return _merge_sorted_impl(tuple(a_keys), a_w, tuple(b_keys), tile,
+                              interpret, False)
