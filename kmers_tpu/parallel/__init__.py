@@ -9,7 +9,7 @@ from . import count, halo, mesh, pipeline, route, stream
 from .count import (CountTable, CountTableWide, UnitTable, UnitTableWide,
                     count_words, count_words_wide, count_weighted,
                     merge_tables, merge_many, unit_table, unit_table_wide,
-                    lookup)
+                    lookup, lookup_merge, lookup_wide)
 from .mesh import (make_mesh, batch_sharding, replicated, init_distributed,
                    local_read_slice, make_global_array)
 from .pipeline import (CountResult, count_reads, count_reads_packed,
@@ -27,6 +27,7 @@ __all__ = [
     "CountTable", "CountTableWide", "UnitTable", "UnitTableWide",
     "count_words", "count_words_wide", "count_weighted", "merge_tables",
     "merge_many", "unit_table", "unit_table_wide", "lookup",
+    "lookup_merge", "lookup_wide",
     "make_mesh", "batch_sharding", "replicated", "init_distributed",
     "local_read_slice", "make_global_array",
     "CountResult", "count_reads", "count_reads_packed", "count_reads_wide",
