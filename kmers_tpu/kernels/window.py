@@ -203,7 +203,7 @@ def _folded_kernel(reads_ref, key_hi_ref, key_lo_ref, *, k: int, seed: int,
 @functools.partial(jax.jit, static_argnames=("k", "seed", "block_rows",
                                              "interpret"))
 def pack_canonical_hash(reads: jnp.ndarray, k: int, seed: int = 0,
-                        block_rows: int = 256, interpret: bool = False):
+                        block_rows: int = 64, interpret: bool = False):
     """Fused pack+canonical+hash over [B, L] uint8 reads (k <= 32).
 
     Returns (canon_hi, canon_lo, hash_hi, hash_lo, valid_u8), all [B, L];
@@ -212,6 +212,11 @@ def pack_canonical_hash(reads: jnp.ndarray, k: int, seed: int = 0,
     canonical + core.u64.mix_hash); invalid lanes are ZERO in the four u32
     outputs (the jnp path leaves unspecified values there).
     B must be a multiple of block_rows (pad the batch).
+
+    block_rows default 64 (round-5 sweep, same-session A/B on v5e):
+    64 rows ran 31.8 vs 256's 28.5 G kmers/s (+11%) -- more grid steps
+    give Mosaic better DMA/compute overlap at this VMEM footprint; 16 is
+    too small (19.2 G) and 512 overflows scoped VMEM.
     """
     assert 1 <= k <= 32
     B, L = reads.shape
@@ -384,7 +389,7 @@ def qspace_positions(L: int) -> "jnp.ndarray":
 @functools.partial(jax.jit, static_argnames=("k", "stage", "block_rows",
                                              "interpret"))
 def pack_canonical_keys(reads: jnp.ndarray, k: int, stage: str = "canon",
-                        block_rows: int = 256, interpret: bool = False):
+                        block_rows: int = 64, interpret: bool = False):
     """Counting-consumer variant of the window kernel (k <= 31): returns
     (key_hi, key_lo) [B, L] uint32 with the INVALID flag folded into bit 31
     of key_hi -- the exact spare-bit sort-key layout of

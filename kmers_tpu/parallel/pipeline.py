@@ -71,7 +71,7 @@ def _folded_kernel_ok(reads: jnp.ndarray, k: int) -> bool:
     if not (1 <= k <= 31) or reads.dtype != jnp.uint8:
         return False
     B = reads.shape[0]
-    if B % min(256, B) != 0:
+    if B % min(64, B) != 0:
         return False
     try:
         return jax.default_backend() == "tpu"
