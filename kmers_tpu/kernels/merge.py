@@ -20,7 +20,12 @@ Design constraints honored (kernels/sort.py round-3 post-mortem +
 docs/design.md §11): static strides only, no sublane rolls on
 non-8-multiple row counts (all cross-row shifts are static slices +
 concat), lane-axis rolls only at width exactly 128, small unrolled
-networks (14 stages, not 171).
+networks (small unrolled stage counts, not 171).
+
+Tile defaults from the round-5 on-chip sweep (25 M lanes): merge tile
+32768 = 8.97 ms (8192: 13.94; 65536 no better), compress block 65536 =
+4.82 ms (16384: 6.62; 131072 no better) -- bigger tiles amortize per-
+grid-step overheads until VMEM pressure flattens the curve.
 
 merge_sorted correctness sketch (merge path, Green et al.):
   * tile boundaries d_t = t*TILE are split by binary search into
@@ -119,7 +124,7 @@ def _window_extract(vbuf: jnp.ndarray, off, RW: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret",
                                              "with_idx"))
-def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 8192,
+def merge_sorted(a_hi, a_lo, a_w, b_hi, b_lo, tile: int = 32768,
                  interpret: bool = False, with_idx: bool = False):
     """Merge sorted A (key_hi, key_lo, weight-u32) with sorted B
     (key_hi, key_lo in the folded spare-bit layout: bit 31 of hi set =
@@ -248,7 +253,9 @@ def _compress_kernel(offs_ref, cnt_ref,
         cp.start()
         cp.wait()
 
-    for bit in reversed(range(8)):
+    # enough bits to cover rows_full <= rows (carry < 128 adds no row;
+    # rows is a power of two, so bit_length() covers exactly 0..rows)
+    for bit in reversed(range(max(8, rows.bit_length()))):
         nrows = 1 << bit
         row_off = (rows_full >> (bit + 1)) << (bit + 1)
 
@@ -274,7 +281,7 @@ def _compress_kernel(offs_ref, cnt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def compress_flagged(hi, lo, pay, keep, block: int = 16384,
+def compress_flagged(hi, lo, pay, keep, block: int = 65536,
                      interpret: bool = False):
     """Stable-compact the lanes with keep != 0 to the front, carrying
     `pay`: out[j] = (hi, lo, pay) of the j-th kept lane.  Returns
@@ -499,7 +506,7 @@ def _merge_sorted_impl(a_keys, a_w, b_keys, tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 8192,
+def merge_sorted_wide(a_keys, a_w, b_keys, tile: int = 32768,
                       interpret: bool = False):
     """merge_sorted for 128-bit keys: a_keys / b_keys are 4-tuples of
     uint32 planes, MOST significant first (UnitTableWide layout: the
